@@ -1,0 +1,136 @@
+"""The EO-NeRF radiance field as a flax module.
+
+Architecture spec from the reference (radiance_fields/eonerf.py:69-170):
+
+- trunk: 8x256 skip-MLP over a degree-10 positional encoding of xyz
+- sigma head: Dense(256->1) + softplus
+- bottleneck: Dense(256->256)
+- albedo head: 1x128 MLP -> 3, sigmoid  (multi-view-consistent surface color)
+- transient head: per-image 4-d embedding concat bottleneck -> 4x128 MLP ->
+  {transient shadow scalar s in [0,1] (sigmoid), uncertainty beta (softplus)}
+- ambient head: 1x128 MLP over degree-4 encoding of the sun direction -> 3,
+  sigmoid (the color of ambient/sky light in shadowed regions)
+- optional per-image 9-d radiometric embedding (A:3, b:3, ambient_bias:3)
+  initialized to the identity transform (eonerf.py:89-94)
+
+TPU-first deviations from the reference (documented, behavior-preserving):
+
+- The ambient head depends only on the per-ray sun direction, so it is
+  evaluated once per ray here instead of once per sample; its volume
+  accumulation then equals ambient * opacity exactly (the reference
+  evaluates it per sample and accumulates — algebraically identical because
+  all samples of a ray share the sun direction).
+- Everything is expressed over dense (rays, samples) blocks with static
+  shapes; there is no flattened ray_indices format.
+"""
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from eonerf_code_tpu.models.encoders import sinusoidal_encode
+from eonerf_code_tpu.models.mlp import MLP
+
+
+def _radiometric_identity_init(key, shape, dtype=jnp.float32):
+    """Rows [1,1,1, 0,0,0, 0,0,0]: A=I, b=0, ambient_bias=0 (eonerf.py:92-94)."""
+    n, d = shape
+    row = jnp.concatenate([jnp.ones((3,), dtype), jnp.zeros((d - 3,), dtype)])
+    return jnp.tile(row, (n, 1))
+
+
+class EONerfField(nn.Module):
+    n_images: int
+    net_depth: int = 8
+    net_width: int = 256
+    skip_layer: int = 4
+    pos_enc_deg: int = 10
+    view_enc_deg: int = 4
+    transient_dim: int = 4
+    radiometric_normalization: bool = True
+    beta_min: float = 0.05
+    compute_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cd = self.compute_dtype
+        half = self.net_width // 2
+        self.trunk = MLP(net_depth=self.net_depth, net_width=self.net_width,
+                         skip_layer=self.skip_layer, compute_dtype=cd, name="trunk")
+        self.sigma_head = MLP(output_dim=1, net_depth=0, output_activation=nn.softplus,
+                              compute_dtype=cd, name="sigma_head")
+        self.bottleneck = MLP(output_dim=self.net_width, net_depth=0, compute_dtype=cd,
+                              name="bottleneck")
+        self.albedo_mlp = MLP(output_dim=3, net_depth=1, net_width=half, skip_layer=None,
+                              output_activation=nn.sigmoid, compute_dtype=cd, name="albedo_mlp")
+        self.transient_mlp = MLP(net_depth=4, net_width=half, skip_layer=None,
+                                 compute_dtype=cd, name="transient_mlp")
+        self.transient_scalar = MLP(output_dim=1, net_depth=0, output_activation=nn.sigmoid,
+                                    compute_dtype=cd, name="transient_scalar")
+        self.transient_beta = MLP(output_dim=1, net_depth=0, output_activation=nn.softplus,
+                                  compute_dtype=cd, name="transient_beta")
+        self.ambient_mlp = MLP(output_dim=3, net_depth=1, net_width=half, skip_layer=None,
+                               output_activation=nn.sigmoid, compute_dtype=cd, name="ambient_mlp")
+        # per-image transient embedding; torch nn.Embedding default init is N(0,1)
+        self.transient_encoder = nn.Embed(self.n_images, self.transient_dim,
+                                          embedding_init=nn.initializers.normal(1.0),
+                                          name="transient_encoder")
+        if self.radiometric_normalization:
+            self.radiometric_enc = nn.Embed(self.n_images, 9,
+                                            embedding_init=_radiometric_identity_init,
+                                            name="radiometric_enc")
+
+    # --- heads ---
+
+    def init_all(self, x, sun_d, img_idx):
+        """Touches every submodule so `init(method='init_all')` creates the
+        full parameter tree (flax only materializes traced params)."""
+        out = self(x, sun_d, img_idx)
+        _ = self.radiometric(img_idx)
+        return out
+
+    def density(self, x):
+        """sigma(x) for (..., 3) positions — used by the camera pass, the
+        shadow pass, and occupancy-grid updates (eonerf.py:141-145)."""
+        pe = sinusoidal_encode(x, 0, self.pos_enc_deg)
+        h = self.trunk(pe)
+        return self.sigma_head(h)[..., 0]
+
+    def __call__(self, x, sun_d, img_idx):
+        """Full field evaluation.
+
+        Args:
+          x: (R, K, 3) sample positions.
+          sun_d: (R, 3) per-ray sun directions.
+          img_idx: (R,) int per-ray image indices.
+        Returns:
+          sigma (R, K), albedo (R, K, 3), ambient (R, 3) [per-ray],
+          transient_s (R, K, 1), transient_beta (R, K, 1)
+        """
+        pe = sinusoidal_encode(x, 0, self.pos_enc_deg)
+        h = self.trunk(pe)
+        sigma = self.sigma_head(h)[..., 0]
+        feats = self.bottleneck(h)
+        albedo = self.albedo_mlp(feats)
+
+        sun_pe = sinusoidal_encode(sun_d, 0, self.view_enc_deg)
+        ambient = self.ambient_mlp(sun_pe)
+
+        emb = self.transient_encoder(img_idx)  # (R, 4)
+        emb = jnp.broadcast_to(emb[:, None, :], (*feats.shape[:-1], emb.shape[-1]))
+        th = self.transient_mlp(jnp.concatenate([feats, emb], axis=-1))
+        t_s = self.transient_scalar(th)
+        t_beta = self.transient_beta(th)
+        return sigma, albedo, ambient, t_s, t_beta
+
+    def radiometric(self, img_idx):
+        """Per-image radiometric transform (A, b, ambient_bias).
+
+        Reference: sat_rendering.py:292-304. Returns identity when
+        radiometric normalization is disabled.
+        """
+        if self.radiometric_normalization:
+            e = self.radiometric_enc(img_idx)
+            return e[..., 0:3], e[..., 3:6], jnp.abs(e[..., 6:9])
+        ones = jnp.ones((*img_idx.shape, 3), self.compute_dtype)
+        return ones, jnp.zeros_like(ones), jnp.zeros_like(ones)

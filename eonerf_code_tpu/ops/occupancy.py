@@ -1,0 +1,63 @@
+"""Binary occupancy grid over the [-1, 1]^3 scene cube.
+
+TPU-native equivalent of nerfacc's `OccGridEstimator` (reference:
+train_eonerf.py:74,112-119): a dense float occupancy buffer with EMA-max
+updates from jittered density probes, thresholded into a binary grid.
+XLA-friendly: the grid is a plain array pytree; updates are one fused jit.
+
+The reference updates the grid every 50 steps but never uses it for
+sampling (its occupancy-based sampler is commented out at every call site —
+sat_rendering.py:92,234,257). We keep the same default: the grid is
+maintained (and checkpointed) and can optionally gate density as an
+empty-space mask, but the production sampler is fixed-count uniform.
+"""
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+
+@flax.struct.dataclass
+class OccupancyGrid:
+    occs: Any  # (res^3,) float32 EMA occupancy
+    binaries: Any  # (res, res, res) bool
+    resolution: int = flax.struct.field(pytree_node=False)
+    aabb_min: float = flax.struct.field(pytree_node=False, default=-1.0)
+    aabb_max: float = flax.struct.field(pytree_node=False, default=1.0)
+
+    @classmethod
+    def create(cls, resolution=128):
+        return cls(
+            occs=jnp.zeros((resolution**3,), jnp.float32),
+            binaries=jnp.zeros((resolution,) * 3, dtype=bool),
+            resolution=resolution,
+        )
+
+    def cell_size(self):
+        return (self.aabb_max - self.aabb_min) / self.resolution
+
+    def update(self, density_fn, key, render_step_size, ema_decay=0.95, occ_thre=1e-2):
+        """One occupancy update (nerfacc semantics: EMA-max + mean-clamped
+        threshold). ``density_fn`` maps (N, 3) -> (N,) sigma.
+        """
+        res = self.resolution
+        n = res**3
+        idx = jnp.arange(n)
+        ijk = jnp.stack([idx // (res * res), (idx // res) % res, idx % res], axis=-1)
+        u = jax.random.uniform(key, (n, 3), dtype=jnp.float32)
+        cs = self.cell_size()
+        xyz = self.aabb_min + (ijk.astype(jnp.float32) + u) * cs
+        occ = density_fn(xyz) * render_step_size  # opacity ~ sigma * step (eonerf.py:147-152)
+        occs = jnp.maximum(self.occs * ema_decay, occ)
+        thre = jnp.minimum(jnp.mean(occs), occ_thre)
+        binaries = (occs > thre).reshape(res, res, res)
+        return self.replace(occs=occs, binaries=binaries)
+
+    def query(self, xyz):
+        """True where xyz falls in an occupied cell. (..., 3) -> (...)."""
+        res = self.resolution
+        cs = self.cell_size()
+        ijk = jnp.clip(((xyz - self.aabb_min) / cs).astype(jnp.int32), 0, res - 1)
+        return self.binaries[ijk[..., 0], ijk[..., 1], ijk[..., 2]]
