@@ -1,0 +1,129 @@
+"""Benchmark: EO-NeRF training throughput (rays/sec/chip) on real hardware.
+
+Workload matches the reference's production configuration on JAX_068
+(run_JAX_RGB.sh): full train step = camera pass (128 stratified samples/ray
+through the 8x256 trunk + all heads) + geometric shadow pass (sigma-only
+second march) + beta loss + Adam update, with radiometric normalization on.
+The batch size is scanned over a small grid because the TPU operating point
+is a larger megabatch than the reference's 1024 (rays/sec is the metric;
+both are reported).
+
+Baseline: the reference publishes NO numbers (BASELINE.md). `vs_baseline`
+is computed against an ESTIMATED A100 PyTorch throughput of 10,000 rays/s
+for the same per-step work (derived from SatNeRF-class runtimes: ~300k
+steps x 1024 rays in ~20h on V100 ~ 4.3k rays/s, doubled for A100 and
+rounded up to be conservative toward the baseline).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+A100_BASELINE_RAYS_PER_SEC = 10_000.0
+
+
+def build_step(n_images=10, n_samples=128, compute_dtype="bfloat16"):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from eonerf_code_tpu.data.rays import satrays_from_tensor
+    from eonerf_code_tpu.models.eonerf import EONerfField
+    from eonerf_code_tpu.render.satellite import RenderConfig, render_rays
+    from eonerf_code_tpu.utils import metrics as M
+
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    field = EONerfField(n_images=n_images, compute_dtype=dtype)
+    params = field.init(jax.random.PRNGKey(0), jnp.zeros((2, 3, 3)),
+                        jnp.zeros((2, 3)), jnp.zeros((2,), jnp.int32),
+                        method="init_all")
+    optimizer = optax.adam(5e-4)
+    opt_state = optimizer.init(params)
+    rcfg = RenderConfig(n_samples=n_samples, sc_n_samples=n_samples)
+
+    @jax.jit
+    def train_step(params, opt_state, batch, key):
+        def loss_fn(p):
+            rays = satrays_from_tensor(batch["rays"], batch["ts"])
+            out = render_rays(field, p, rays, key, rcfg, shadows=True)
+            loss, _ = M.uncertainty_aware_loss(batch["rgbs"], out["rgb"], out["beta"])
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return train_step, params, opt_state
+
+
+def make_batch(n_rays, n_images=10, seed=0):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    o = np.zeros((n_rays, 3), np.float32)
+    o[:, 0] = rng.uniform(-0.9, 0.9, n_rays)
+    o[:, 1] = rng.uniform(-0.9, 0.9, n_rays)
+    o[:, 2] = 0.999
+    d = np.tile(np.array([0.05, 0.02, -1.0], np.float32), (n_rays, 1))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    sun = np.tile(np.array([0.3, 0.2, -0.93], np.float32), (n_rays, 1))
+    sun /= np.linalg.norm(sun, axis=1, keepdims=True)
+    rays = np.hstack([o, d, np.zeros((n_rays, 1), np.float32),
+                      2.0 * np.ones((n_rays, 1), np.float32), sun]).astype(np.float32)
+    return {
+        "rays": jnp.asarray(rays),
+        "ts": jnp.asarray(rng.integers(0, n_images, n_rays).astype(np.int32)),
+        "rgbs": jnp.asarray(rng.random((n_rays, 3)).astype(np.float32)),
+    }
+
+
+def time_batch(train_step, params, opt_state, batch_size, warmup=3, iters=20):
+    import jax
+
+    batch = make_batch(batch_size)
+    key = jax.random.PRNGKey(0)
+    p, o = params, opt_state
+    for i in range(warmup):
+        p, o, loss = train_step(p, o, batch, jax.random.fold_in(key, i))
+    loss.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(iters):
+        p, o, loss = train_step(p, o, batch, jax.random.fold_in(key, 100 + i))
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
+def main():
+    import jax
+
+    results = {}
+    train_step, params, opt_state = build_step()
+    for bs in (1024, 4096, 16384):
+        try:
+            results[bs] = time_batch(train_step, params, opt_state, bs)
+        except Exception as e:  # OOM on larger batches is informative, not fatal
+            results[bs] = None
+    valid = {k: v for k, v in results.items() if v}
+    best_bs = max(valid, key=valid.get)
+    best = valid[best_bs]
+    out = {
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(best, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(best / A100_BASELINE_RAYS_PER_SEC, 3),
+        "baseline_note": "estimated A100 PyTorch EO-NeRF throughput (reference publishes none)",
+        "batch_size": best_bs,
+        "by_batch_size": {str(k): (round(v, 1) if v else None) for k, v in results.items()},
+        "device": str(jax.devices()[0]),
+        "n_samples": 128,
+        "shadows": True,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Experiment configuration: a typed dataclass with JSON round-trip.
+
+Replaces the reference's ~30-flag argparse surface (opt.py). Flags the
+reference declares but never reads (SURVEY §2 #11: n_importance, sc_lambda,
+ds_*, noise_std, t_embbeding_*, ...) are dropped; flags it declares but
+never implements are implemented for real here: `ckpt_path` (training
+resume) and `rpc_correction` (learnable RPC bundle-adjustment offsets).
+
+The three reference presets (run_JAX_RGB.sh / run_JAX_NEW.sh / run_IARPA.sh)
+are named configs.
+"""
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # paths
+    root_dir: str = ""
+    img_dir: Optional[str] = None
+    logs_dir: str = "logs"
+    gt_dir: Optional[str] = None
+    cache_dir: Optional[str] = None
+    ckpt_path: Optional[str] = None      # resume (implemented, unlike the reference)
+    exp_name: str = "eo-nerf"
+    aoi_id: Optional[str] = None         # inferred from data when None
+
+    # model / dataset
+    model: str = "eo-nerf"               # eo-nerf | sat-nerf (no radiometric norm)
+    img_downscale: float = 1.0
+    ecef: bool = False
+    subset_n_views: Optional[int] = None
+
+    # training
+    lr: float = 5e-4
+    lr_gamma_per_epoch: float = 0.9      # StepLR(gamma=0.9) per epoch
+    batch_size: int = 1024
+    max_train_steps: int = 300000
+    n_samples: int = 128
+    net_depth: int = 8                   # trunk depth (eonerf.py:73)
+    net_width: int = 256                 # trunk width (eonerf.py:74)
+    chunk: int = 1024                    # val/eval render block
+    seed: int = 42
+    compute_dtype: str = "float32"       # or "bfloat16" for the MLP hot path
+
+    # EO-NeRF switches
+    geometric_shadows: bool = True       # shadow pass from first_shadow_epoch on
+    radiometric_normalization: bool = True
+    rpc_correction: bool = False         # learnable per-image row/col offsets
+    first_shadow_epoch: int = 2          # epoch gate (sat_rendering.py:269)
+    first_beta_epoch: int = 2            # MSE before, beta loss after
+
+    # occupancy grid (maintained for parity; sampler does not consume it)
+    n_grid: int = 128
+    occ_update_every: int = 50
+    occ_enabled: bool = True
+
+    # priors
+    init_dsm_path: Optional[str] = None
+    init_conf_path: Optional[str] = None
+    shadow_masks_dir: Optional[str] = None
+    depth_weight: float = 100.0
+    depth_weight_decay: float = 0.8      # per epoch
+
+    # eval cadence (None -> reference rule: steps per epoch / 4x)
+    val_freq: Optional[int] = None
+    save_freq: Optional[int] = None
+    n_val_images: int = 5
+
+    # parallelism
+    data_axis: int = 1                   # devices on the ray-batch mesh axis
+
+    def __post_init__(self):
+        if self.model == "eo-nerf":
+            self.radiometric_normalization = True
+
+    # --- JSON round trip (opt.py:105-107 / eval_eonerf.py:18-41) ---
+
+    def save(self, path):
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)
+
+    @classmethod
+    def load(cls, path):
+        with open(path) as f:
+            d = json.load(f)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    def log_dir(self):
+        return os.path.join(self.logs_dir, self.exp_name)
+
+
+def preset(name, **overrides):
+    """Named presets mirroring the reference shell scripts."""
+    base = dict(
+        img_downscale=2.0, n_samples=128, batch_size=1024,
+        geometric_shadows=True, radiometric_normalization=True,
+    )
+    presets = {
+        # run_JAX_RGB.sh: DFC2019 JAX RGB crops, 300k steps
+        "jax_rgb": dict(max_train_steps=300000, **base),
+        # run_JAX_NEW.sh: raw pansharpened WorldView-3 + radiometric norm
+        "jax_new": dict(max_train_steps=300000, **base),
+        # run_IARPA.sh: IARPA MVS AOIs, 500k steps
+        "iarpa": dict(max_train_steps=500000, **base),
+        # hermetic synthetic scene (tests / bench)
+        "synthetic": dict(img_downscale=1.0, n_samples=64, batch_size=1024,
+                          max_train_steps=3000, n_grid=64),
+    }
+    if name not in presets:
+        raise KeyError(f"unknown preset '{name}' (have {sorted(presets)})")
+    cfg = presets[name]
+    cfg.update(overrides)
+    return TrainConfig(**cfg)

@@ -35,7 +35,7 @@ class SyntheticSceneSpec:
     lon0: float = -81.66
     extent: float = 200.0        # scene side length, meters
     box_height: float = 20.0
-    box_size: float = 60.0       # building footprint side, meters
+    box_size: float = 70.0       # building footprint side, meters
     box_center: tuple = (20.0, -15.0)  # offset from scene center, meters
     n_views: int = 8
     n_test_views: int = 2
@@ -210,11 +210,13 @@ def generate_scene(out_dir, spec: SyntheticSceneSpec = None, aoi_id="SYN_068"):
     alt_scale = (spec.max_alt - spec.min_alt) / 2 + 3.0
     gsd = spec.extent / spec.img_size
 
+    # Diverse view zenith angles: height-to-parallax leverage needs oblique
+    # views (20 m of relief at zen 38 deg -> ~16 m of ground displacement).
     n_total = spec.n_views + spec.n_test_views
     view_az = np.linspace(0, 360, n_total, endpoint=False) + 13.0
-    view_el = 8.0 + 14.0 * (np.arange(n_total) % 3)           # zenith angles
+    view_el = 10.0 + 14.0 * (np.arange(n_total) % 3)          # zenith: 10/24/38
     sun_az = (np.linspace(0, 360, n_total, endpoint=False) + 155.0) % 360
-    sun_el = 35.0 + 20.0 * ((np.arange(n_total) % 4) / 3.0)   # above horizon
+    sun_el = 30.0 + 30.0 * ((np.arange(n_total) % 4) / 3.0)   # above horizon
 
     names = []
     from eonerf_code_tpu.data.satellite import cast_rays

@@ -1,0 +1,44 @@
+"""Checkpoint save/restore via orbax.
+
+Same logical contents as the reference's torch.save dict (train_eonerf.py:
+182-191): {step, epoch, occupancy grid, model params, optimizer state} —
+plus real training resume, which the reference declares (--ckpt_path,
+opt.py:26-27) but never implements.
+"""
+
+import os
+
+import orbax.checkpoint as ocp
+
+
+def _ckpt_dir(log_dir, epoch):
+    return os.path.abspath(os.path.join(log_dir, "ckpts", f"epoch={epoch}"))
+
+
+def save_checkpoint(log_dir, epoch, state):
+    """state: any pytree (params, opt_state, occ arrays, step, epoch...)."""
+    path = _ckpt_dir(log_dir, epoch)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, state, force=True)
+    return path
+
+
+def latest_checkpoint(log_dir):
+    d = os.path.join(log_dir, "ckpts")
+    if not os.path.isdir(d):
+        return None
+    epochs = []
+    for name in os.listdir(d):
+        if name.startswith("epoch="):
+            try:
+                epochs.append(int(name.split("=")[1]))
+            except ValueError:
+                pass
+    if not epochs:
+        return None
+    return _ckpt_dir(log_dir, max(epochs))
+
+
+def restore_checkpoint(path, template):
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(path), item=template)

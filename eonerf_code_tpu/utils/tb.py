@@ -1,0 +1,52 @@
+"""Metric logging: TensorBoard events (same scalar names as the reference's
+SummaryWriter usage, train_eonerf.py:166-171,286-294) plus a plain JSONL
+mirror that tests and headless runs can read back without TB."""
+
+import json
+import os
+import time
+
+
+class MetricsLogger:
+    def __init__(self, log_dir, use_tensorboard=True):
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir=log_dir)
+            except Exception:
+                self._tb = None
+
+    def scalar(self, tag, value, step):
+        v = float(value)
+        self._jsonl.write(json.dumps({"t": time.time(), "tag": tag, "value": v, "step": int(step)}) + "\n")
+        if self._tb is not None:
+            self._tb.add_scalar(tag, v, int(step))
+
+    def scalars(self, d, step, prefix=""):
+        for k, v in d.items():
+            self.scalar(prefix + k, v, step)
+
+    def image(self, tag, img_hwc, step):
+        if self._tb is not None:
+            import numpy as np
+
+            img = np.asarray(img_hwc)
+            if img.ndim == 2:
+                img = img[:, :, None]
+            self._tb.add_image(tag, img.transpose(2, 0, 1), int(step))
+
+    def flush(self):
+        self._jsonl.flush()
+        if self._tb is not None:
+            self._tb.flush()
+
+    def close(self):
+        self.flush()
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
