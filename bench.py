@@ -80,7 +80,10 @@ def make_batch(n_rays, n_images=10, seed=0):
     }
 
 
-def time_batch(train_step, params, opt_state, batch_size, warmup=3, iters=20):
+def time_batch(train_step, params, opt_state, batch_size, warmup=3, iters=100):
+    """Chained steps on device; completion forced by a host SCALAR fetch of
+    the final loss (on the tunneled axon backend, block_until_ready alone is
+    not a reliable completion barrier and large-array fetches are slow)."""
     import jax
 
     batch = make_batch(batch_size)
@@ -88,11 +91,11 @@ def time_batch(train_step, params, opt_state, batch_size, warmup=3, iters=20):
     p, o = params, opt_state
     for i in range(warmup):
         p, o, loss = train_step(p, o, batch, jax.random.fold_in(key, i))
-    loss.block_until_ready()
+    _ = float(loss)
     t0 = time.perf_counter()
     for i in range(iters):
         p, o, loss = train_step(p, o, batch, jax.random.fold_in(key, 100 + i))
-    loss.block_until_ready()
+    _ = float(loss)  # forces the whole dependency chain
     dt = time.perf_counter() - t0
     return batch_size * iters / dt
 

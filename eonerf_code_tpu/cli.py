@@ -1,0 +1,91 @@
+"""Command-line interface mirroring the reference's entry points.
+
+Flag names follow the reference's opt.py so users can switch with their
+existing commands; flags the reference declared but never read are either
+implemented for real (--ckpt_path resume, --rpc_correction) or accepted and
+ignored with a warning (listed in IGNORED_FLAGS).
+"""
+
+import argparse
+import sys
+
+from eonerf_code_tpu.config import TrainConfig
+
+IGNORED_FLAGS = ["n_importance", "noise_std", "sc_lambda", "ds_lambda", "ds_drop",
+                 "t_embbeding_tau", "t_embbeding_vocab", "fc_units_ignored"]
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="TPU-native EO-NeRF")
+    p.add_argument("--root_dir", type=str, required=True)
+    p.add_argument("--img_dir", type=str, default=None)
+    p.add_argument("--logs_dir", type=str, default="logs")
+    p.add_argument("--gt_dir", type=str, default=None)
+    p.add_argument("--cache_dir", type=str, default=None)
+    p.add_argument("--ckpt_path", type=str, default=None,
+                   help="checkpoint to RESUME training from (implemented here)")
+    p.add_argument("--exp_name", type=str, default="eo-nerf")
+    p.add_argument("--aoi_id", type=str, default=None)
+    p.add_argument("--model", type=str, default="eo-nerf",
+                   choices=["eo-nerf", "sat-nerf"])
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--batch_size", type=int, default=1024)
+    p.add_argument("--img_downscale", type=float, default=1.0)
+    p.add_argument("--max_train_steps", type=int, default=300000)
+    p.add_argument("--fc_units", type=int, default=256, dest="net_width")
+    p.add_argument("--fc_layers", type=int, default=8, dest="net_depth")
+    p.add_argument("--n_samples", type=int, default=128)
+    p.add_argument("--chunk", type=int, default=1024)
+    p.add_argument("--geometric_shadows", action="store_true", default=True)
+    p.add_argument("--no_geometric_shadows", dest="geometric_shadows", action="store_false")
+    p.add_argument("--radiometric_normalization", action="store_true", default=False)
+    p.add_argument("--rpc_correction", action="store_true", default=False)
+    p.add_argument("--ecef", action="store_true", default=False)
+    p.add_argument("--n_grid", type=int, default=128)
+    p.add_argument("--init_dsm_path", type=str, default=None)
+    p.add_argument("--init_conf_path", type=str, default=None)
+    p.add_argument("--shadow_masks_dir", type=str, default=None)
+    p.add_argument("--subset_Nviews", type=int, default=None, dest="subset_n_views")
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def config_from_args(argv=None):
+    args, unknown = build_parser().parse_known_args(argv)
+    for u in unknown:
+        print(f"warning: ignoring flag {u} (dead in the reference, not implemented)",
+              file=sys.stderr)
+    d = vars(args)
+    known = {f.name for f in __import__("dataclasses").fields(TrainConfig)}
+    return TrainConfig(**{k: v for k, v in d.items() if k in known})
+
+
+def main_train(argv=None):
+    from eonerf_code_tpu.train.loop import Trainer
+
+    cfg = config_from_args(argv)
+    stats = Trainer(cfg).run()
+    print(stats)
+    return stats
+
+
+def eval_cli(argv=None):
+    p = argparse.ArgumentParser(description="TPU-native EO-NeRF evaluation")
+    p.add_argument("run_id")
+    p.add_argument("--logs_dir", type=str, default="logs")
+    p.add_argument("--output_dir", type=str, default="eval_out")
+    p.add_argument("--epoch_nb", type=int, default=None)
+    p.add_argument("--root_dir", type=str, default=None)
+    p.add_argument("--img_dir", type=str, default=None)
+    p.add_argument("--gt_dir", type=str, default=None)
+    p.add_argument("--dsm", action="store_true")
+    args = p.parse_args(argv)
+    from eonerf_code_tpu.eval.run import eval_eonerf
+
+    out = eval_eonerf(args.run_id, args.logs_dir, args.output_dir,
+                      epoch_nb=args.epoch_nb, root_dir=args.root_dir,
+                      img_dir=args.img_dir, gt_dir=args.gt_dir, dsm=args.dsm)
+    print(out)
+    return out

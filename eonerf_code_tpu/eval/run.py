@@ -1,0 +1,174 @@
+"""Full evaluation entry: DSM extraction from a trained run + altitude MAE.
+
+Functional mirror of the reference's `eval_eonerf` (eval_eonerf.py:251-381):
+reload opts.json, restore the checkpointed field, and either
+
+- dsm=True: pick the most-nadir training view, build a virtual orthographic
+  nadir camera over the scene cube, render depth (+ full outputs), extract
+  the georeferenced DSM, register against lidar GT and report MAE; or
+- dsm=False: render every train+test view and report beta-loss + PSNR.
+"""
+
+import glob
+import json
+import os
+import shutil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eonerf_code_tpu.config import TrainConfig
+from eonerf_code_tpu.data.rays import satrays_from_tensor
+from eonerf_code_tpu.data.satellite import SatelliteDataset, get_file_id, read_json
+from eonerf_code_tpu.geo import RPCModel
+from eonerf_code_tpu.models.eonerf import EONerfField
+from eonerf_code_tpu.render.nadir import nadir_rays_with_sun
+from eonerf_code_tpu.render.satellite import RenderConfig, render_image
+from eonerf_code_tpu.train import checkpoints as ckpt_lib
+from eonerf_code_tpu.utils import metrics as M
+
+
+def sort_views_by_incidence(root_dir):
+    """Json paths sorted by view incidence angle, most nadir first
+    (sat_utils.py:262-272)."""
+    out = []
+    for json_p in sorted(glob.glob(os.path.join(root_dir, "*.json"))):
+        d = read_json(json_p)
+        rpc = RPCModel(d["rpc"])
+        c_lon, c_lat = d["geojson"]["center"][0], d["geojson"]["center"][1]
+        zen, _ = rpc.incidence_angles(c_lon, c_lat, z=0.0)
+        out.append((zen, json_p))
+    return [p for _, p in sorted(out)]
+
+
+def load_run(run_dir, epoch_nb=None, n_images=None):
+    """Restore (cfg, field, params) from a training run directory."""
+    cfg = TrainConfig.load(os.path.join(run_dir, "opts.json"))
+    if epoch_nb is not None:
+        path = os.path.join(run_dir, "ckpts", f"epoch={epoch_nb}")
+    else:
+        path = ckpt_lib.latest_checkpoint(run_dir)
+    assert path is not None and os.path.exists(path), f"no checkpoint under {run_dir}"
+
+    if n_images is None:
+        with open(os.path.join(cfg.root_dir, "train.txt")) as f:
+            n_images = len([x for x in f.read().split("\n") if ".json" in x])
+        if cfg.subset_n_views is not None and cfg.subset_n_views > 1:
+            n_images = min(n_images, cfg.subset_n_views)
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    field = EONerfField(n_images=n_images, net_depth=cfg.net_depth,
+                        net_width=cfg.net_width,
+                        radiometric_normalization=cfg.radiometric_normalization,
+                        rpc_correction=cfg.rpc_correction,
+                        compute_dtype=dtype)
+    template = field.init(jax.random.PRNGKey(0), jnp.zeros((2, 3, 3)),
+                          jnp.zeros((2, 3)), jnp.zeros((2,), jnp.int32),
+                          method="init_all")
+    restored = ckpt_lib.restore_checkpoint(path, {"params": template})
+    return cfg, field, restored["params"]
+
+
+def save_outputs_to_images(dataset, sample, results, out_dir, suffix=""):
+    """Write per-key rendered rasters + GT rgb + depth/DSM GeoTIFFs
+    (reference: datasets/satellite.py:195-239)."""
+    from eonerf_code_tpu.io.image import save_image_like
+
+    src_id = sample["src_id"]
+    src_path = os.path.join(dataset.img_dir, src_id + ".tif")
+    h, w = sample["h"], sample["w"]
+    for k in ("geo_shadows", "transient_s", "beta"):
+        if k in results:
+            img = np.asarray(results[k]).reshape(1, h, w).repeat(3, 0)
+            save_image_like(os.path.join(out_dir, k, f"{src_id}{suffix}.tif"), img, src_path)
+    for k in ("rgb", "ambient_rgb", "albedo_rgb"):
+        if k in results:
+            img = np.asarray(results[k]).reshape(h, w, 3).transpose(2, 0, 1)
+            save_image_like(os.path.join(out_dir, k, f"{src_id}{suffix}.tif"), img, src_path)
+    gt = np.asarray(sample["rgbs"]).reshape(h, w, 3).transpose(2, 0, 1)
+    save_image_like(os.path.join(out_dir, "gt_rgb", f"{src_id}{suffix}.tif"), gt, src_path)
+    if "depth" in results:
+        _, _, alts = dataset.utmalt_from_depth(sample["rays"], np.asarray(results["depth"]))
+        save_image_like(os.path.join(out_dir, "depth", f"{src_id}{suffix}.tif"),
+                        np.asarray(alts, np.float32).reshape(1, h, w), src_path)
+        dsm_res = 0.5 if "JAX" in src_id else 0.3
+        dataset.dsm_from_depth(sample["rays"], np.asarray(results["depth"]),
+                               dsm_path=os.path.join(out_dir, "dsm", f"{src_id}{suffix}.tif"),
+                               resolution=dsm_res)
+
+
+def eval_eonerf(run_id, logs_dir, output_dir, epoch_nb=None, root_dir=None,
+                img_dir=None, gt_dir=None, dsm=False, chunk=4096, dsm_resolution=None):
+    run_dir = os.path.join(logs_dir, run_id)
+    cfg, field, params = load_run(run_dir, epoch_nb)
+    if root_dir:
+        cfg.root_dir = root_dir
+    if img_dir:
+        cfg.img_dir = img_dir
+    if gt_dir:
+        cfg.gt_dir = gt_dir
+    if cfg.cache_dir and not os.path.isdir(cfg.cache_dir):
+        cfg.cache_dir = None
+
+    dataset = SatelliteDataset(cfg.root_dir, cfg.img_dir, split="val",
+                               img_downscale=cfg.img_downscale, utm=not cfg.ecef,
+                               cache_dir=cfg.cache_dir)
+    # evaluate over train + test rosters (eval_eonerf.py:269-276)
+    files = dataset.scene._split_files("train.txt")
+    if os.path.exists(os.path.join(cfg.root_dir, "test.txt")):
+        files = files + dataset.scene._split_files("test.txt")
+    dataset.json_files = [os.path.join(cfg.root_dir, p) for p in files]
+    dataset.all_ids_img = list(range(len(files)))
+
+    rcfg = RenderConfig(n_samples=cfg.n_samples, sc_n_samples=cfg.n_samples)
+    out_dir = os.path.join(output_dir, run_id)
+    key = jax.random.PRNGKey(0)
+
+    if dsm:
+        nadir_json = sort_views_by_incidence(dataset.scene.root_dir)[0]
+        d = read_json(nadir_json)
+        src_id = get_file_id(nadir_json)
+        rays_np, h, w = nadir_rays_with_sun(
+            int(d["width"]), int(d["height"]), 90.0 - float(d["sun_elevation"]),
+            float(d["sun_azimuth"]), dataset.scene.scene_scale,
+            img_downscale=cfg.img_downscale)
+        rays = satrays_from_tensor(jnp.asarray(rays_np),
+                                   jnp.zeros((rays_np.shape[0],), jnp.int32))
+        results = render_image(field, params, rays, key, rcfg, shadows=True, chunk=chunk)
+        sample = {"rays": rays_np, "rgbs": np.ones((rays_np.shape[0], 3), np.float32),
+                  "src_id": src_id, "h": h, "w": w}
+        save_outputs_to_images(dataset, sample, results, out_dir)
+
+        dsm_path = os.path.join(out_dir, "dsm", f"{src_id}.tif")
+        if dsm_resolution is not None:  # non-default grids (synthetic scenes)
+            dataset.dsm_from_depth(rays_np, np.asarray(results["depth"]),
+                                   dsm_path=dsm_path, resolution=dsm_resolution)
+        assert os.path.exists(dsm_path)
+        if cfg.gt_dir is None:
+            return {"dsm_path": dsm_path}
+
+        aoi_id = cfg.aoi_id or (src_id[:7] if "JAX" in src_id
+                                else os.path.basename(cfg.root_dir.rstrip("/")).replace("_new", ""))
+        from eonerf_code_tpu.eval.dsm import compute_mae_and_save_dsm_diff
+
+        epoch_tag = epoch_nb if epoch_nb is not None else "final"
+        mae = compute_mae_and_save_dsm_diff(dsm_path, src_id, cfg.gt_dir, out_dir,
+                                            epoch_tag, aoi_id)
+        tmp = os.path.join(out_dir, f"{src_id}_rdsm_epoch{epoch_tag}.tif")
+        final = tmp.replace(".tif", f"_{mae:.3f}.tif")
+        if os.path.exists(tmp):
+            shutil.move(tmp, final)
+        return {"mae": mae, "dsm_path": dsm_path, "rdsm_path": final}
+
+    # dsm=False: per-view photometric metrics
+    report = []
+    for i in range(len(dataset.json_files)):
+        sample = dataset.get_val_sample(i)
+        rays = satrays_from_tensor(jnp.asarray(sample["rays"]), jnp.asarray(sample["ts"]))
+        results = render_image(field, params, rays, key, rcfg, shadows=True, chunk=chunk)
+        rgbs = jnp.asarray(sample["rgbs"])
+        loss, _ = M.uncertainty_aware_loss(rgbs, results["rgb"], results["beta"])
+        psnr_ = M.psnr(results["rgb"], rgbs)
+        save_outputs_to_images(dataset, sample, results, out_dir)
+        report.append({"src_id": sample["src_id"], "loss": float(loss), "psnr": float(psnr_)})
+    return report

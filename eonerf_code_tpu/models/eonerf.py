@@ -49,6 +49,7 @@ class EONerfField(nn.Module):
     view_enc_deg: int = 4
     transient_dim: int = 4
     radiometric_normalization: bool = True
+    rpc_correction: bool = False
     beta_min: float = 0.05
     compute_dtype: jnp.dtype = jnp.float32
 
@@ -79,6 +80,16 @@ class EONerfField(nn.Module):
             self.radiometric_enc = nn.Embed(self.n_images, 9,
                                             embedding_init=_radiometric_identity_init,
                                             name="radiometric_enc")
+        if self.rpc_correction:
+            # Learnable RPC bundle adjustment (the reference declares
+            # --rpc_correction but never wires it — SURVEY §2 #12; the paper's
+            # formulation corrects per-image RPC row/col offsets, which for
+            # near-parallel satellite ray bundles is a rigid translation of
+            # the bundle; we learn that translation directly in the
+            # normalized scene frame, initialized to zero).
+            self.ray_correction_enc = nn.Embed(self.n_images, 3,
+                                               embedding_init=nn.initializers.zeros,
+                                               name="ray_correction_enc")
 
     # --- heads ---
 
@@ -87,7 +98,15 @@ class EONerfField(nn.Module):
         full parameter tree (flax only materializes traced params)."""
         out = self(x, sun_d, img_idx)
         _ = self.radiometric(img_idx)
+        _ = self.ray_offset(img_idx)
         return out
+
+    def ray_offset(self, img_idx):
+        """Per-image bundle-adjustment translation of the ray origins in the
+        normalized frame; zero when rpc_correction is off."""
+        if self.rpc_correction:
+            return self.ray_correction_enc(img_idx)
+        return jnp.zeros((*img_idx.shape, 3), self.compute_dtype)
 
     def density(self, x):
         """sigma(x) for (..., 3) positions — used by the camera pass, the

@@ -67,6 +67,8 @@ def render_rays(field, params, rays: SatRays, key, cfg: RenderConfig,
     """
     k_cam, k_sc = jax.random.split(key)
     o, d, sun_d = rays.origins, rays.viewdirs, rays.sundirs
+    if getattr(field, "rpc_correction", False):
+        o = o + field.apply(params, rays.img_idx, method="ray_offset")
     near = rays.t_near
 
     # ---- camera pass ----

@@ -140,6 +140,7 @@ class Trainer:
             n_images=self.n_images,
             net_depth=cfg.net_depth, net_width=cfg.net_width,
             radiometric_normalization=cfg.radiometric_normalization,
+            rpc_correction=cfg.rpc_correction,
             compute_dtype=dtype)
         key = jax.random.PRNGKey(cfg.seed)
         self.params = self.field.init(

@@ -81,6 +81,20 @@ class TestTraining:
         assert {"train/loss", "train/psnr", "lr", "epoch"} <= tags
         assert "perf/rays_per_sec" in tags
 
+    def test_eval_eonerf_dsm_pipeline(self, trained, scene, tmp_path):
+        """Full eval entry: nadir ortho sweep -> DSM -> registered MAE
+        (mechanics + sanity; convergence is checked elsewhere)."""
+        trainer, _ = trained
+        trainer.save()
+        from eonerf_code_tpu.eval.run import eval_eonerf
+
+        out = eval_eonerf("e2e", logs_dir=trainer.cfg.logs_dir,
+                          output_dir=str(tmp_path / "eval"), dsm=True,
+                          dsm_resolution=2.0)
+        assert "mae" in out and np.isfinite(out["mae"])
+        assert os.path.exists(out["dsm_path"])
+        assert os.path.exists(out["rdsm_path"])
+
     def test_checkpoint_resume(self, trained, scene):
         trainer, _ = trained
         path = trainer.save()
