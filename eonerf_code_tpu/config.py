@@ -37,11 +37,17 @@ class TrainConfig:
     # training
     lr: float = 5e-4
     lr_gamma_per_epoch: float = 0.9      # StepLR(gamma=0.9) per epoch
+    lr_decay_steps: Optional[int] = None  # decay per N STEPS instead of per
+                                          # epoch (the reference's per-epoch
+                                          # rule collapses lr on small scenes
+                                          # where an epoch is a few steps)
     batch_size: int = 1024
     max_train_steps: int = 300000
     n_samples: int = 128
     net_depth: int = 8                   # trunk depth (eonerf.py:73)
     net_width: int = 256                 # trunk width (eonerf.py:74)
+    steps_per_call: int = 25             # train steps scanned inside one jit
+                                         # dispatch (amortizes host latency)
     chunk: int = 1024                    # val/eval render block
     seed: int = 42
     compute_dtype: str = "float32"       # or "bfloat16" for the MLP hot path
@@ -52,6 +58,8 @@ class TrainConfig:
     rpc_correction: bool = False         # learnable per-image row/col offsets
     first_shadow_epoch: int = 2          # epoch gate (sat_rendering.py:269)
     first_beta_epoch: int = 2            # MSE before, beta loss after
+    first_shadow_step: Optional[int] = None  # step-based overrides of the
+    first_beta_step: Optional[int] = None    # epoch gates (small scenes)
 
     # occupancy grid (maintained for parity; sampler does not consume it)
     n_grid: int = 128

@@ -67,14 +67,25 @@ class SyntheticScene:
         return np.where(inside, s.box_height, 0.0)
 
     def albedo(self, easts, norths):
-        """(N, 3) surface albedo: checkerboard ground, uniform gray roof."""
+        """(N, 3) surface albedo: checkerboard ground, gray roof, both
+        modulated by a world-anchored multi-frequency texture.
+
+        The texture is essential for the photometric geometry signal: with
+        textureless surfaces the only parallax gradients come from edges and
+        shadows, and a NeRF can park the roof at ground level almost
+        penalty-free (real satellite imagery is richly textured)."""
         e = np.asarray(easts)
         n = np.asarray(norths)
         check = ((np.floor((e - self.e0) / 25.0) + np.floor((n - self.n0) / 25.0)) % 2)
         ground = np.stack([0.35 + 0.3 * check, 0.45 - 0.15 * check, 0.30 + 0.1 * check], -1)
-        roof = np.array([0.65, 0.6, 0.58])
+        roof = np.broadcast_to(np.array([0.65, 0.6, 0.58]), ground.shape)
         on_roof = self.height(e, n) > 0
-        return np.where(on_roof[..., None], roof, ground)
+        base = np.where(on_roof[..., None], roof, ground)
+        tex = (np.sin(2 * np.pi * (e - self.e0) / 13.7)
+               + np.sin(2 * np.pi * (n - self.n0) / 17.3)
+               + np.sin(2 * np.pi * (e + n - self.e0 - self.n0) / 8.9)
+               + np.sin(2 * np.pi * (e - n - self.e0 + self.n0) / 23.1)) / 4.0
+        return np.clip(base * (1.0 + 0.45 * tex[..., None]), 0.02, 1.0)
 
     def surface_intersection(self, rays_o, rays_d, n_steps=3000):
         """First crossing below the heightfield along each world-space ray.

@@ -68,9 +68,18 @@ def ncc(u, v, dx=0, dy=0):
     return xcorr / denom if denom > 0 else -np.inf
 
 
-def compute_ncc(u, v, irange, initdx, initdy):
+def compute_ncc(u, v, irange, initdx, initdy, use_native=True):
     """Exhaustive search over (initdx, initdy) +- irange; first max wins,
-    scanning y-major then x (the reference tie-break order, dsmr.py:111-117)."""
+    scanning y-major then x (the reference tie-break order, dsmr.py:111-117).
+
+    Dispatches to the C++/OpenMP kernel when available (the reference's
+    numba equivalent); falls back to the vectorized numpy path."""
+    if use_native and u.shape[0] == 1:
+        from eonerf_code_tpu import native
+
+        out = native.ncc_search(u[0], v[0], irange, initdx, initdy)
+        if out is not None:
+            return out
     best = (-np.inf, initdx, initdy)
     for y in range(initdy - irange, initdy + irange + 1):
         for x in range(initdx - irange, initdx + irange + 1):

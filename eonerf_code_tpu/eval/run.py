@@ -62,11 +62,9 @@ def load_run(run_dir, epoch_nb=None, n_images=None):
                         radiometric_normalization=cfg.radiometric_normalization,
                         rpc_correction=cfg.rpc_correction,
                         compute_dtype=dtype)
-    template = field.init(jax.random.PRNGKey(0), jnp.zeros((2, 3, 3)),
-                          jnp.zeros((2, 3)), jnp.zeros((2,), jnp.int32),
-                          method="init_all")
-    restored = ckpt_lib.restore_checkpoint(path, {"params": template})
-    return cfg, field, restored["params"]
+    restored = ckpt_lib.restore_checkpoint(path)
+    params = jax.tree_util.tree_map(jnp.asarray, restored["params"])
+    return cfg, field, params
 
 
 def save_outputs_to_images(dataset, sample, results, out_dir, suffix=""):

@@ -179,10 +179,23 @@ class RPCModel:
         return project(self.coeffs(), np.asarray(lon, dtype=np.float64),
                        np.asarray(lat, dtype=np.float64), np.asarray(alt, dtype=np.float64))
 
-    def localization(self, col, row, alt):
-        """(col, row, alt) -> (lon, lat), rpcm-compatible signature."""
-        return localize(self.coeffs(), np.asarray(col, dtype=np.float64),
-                        np.asarray(row, dtype=np.float64), np.asarray(alt, dtype=np.float64))
+    def localization(self, col, row, alt, use_native=True):
+        """(col, row, alt) -> (lon, lat), rpcm-compatible signature.
+
+        Uses the C++/OpenMP batch kernel when available (large pixel grids:
+        the reference spends minutes here per scene via rpcm's python loop);
+        the numpy path below is the bit-identical reference implementation.
+        """
+        col = np.asarray(col, dtype=np.float64)
+        row = np.asarray(row, dtype=np.float64)
+        alt = np.asarray(alt, dtype=np.float64)
+        if use_native and col.size >= 4096:
+            from eonerf_code_tpu import native
+
+            out = native.rpc_localize(self, col.ravel(), row.ravel(), alt.ravel())
+            if out is not None:
+                return out[0].reshape(col.shape), out[1].reshape(col.shape)
+        return localize(self.coeffs(), col, row, alt)
 
     def incidence_angles(self, lon, lat, z=0.0):
         """(view zenith angle deg, view azimuth deg) at a ground point.

@@ -39,6 +39,11 @@ def latest_checkpoint(log_dir):
     return _ckpt_dir(log_dir, max(epochs))
 
 
-def restore_checkpoint(path, template):
+def restore_checkpoint(path, template=None):
+    """Restore a checkpoint pytree. With a template, the ENTIRE saved tree
+    must match its structure; pass template=None to restore whatever was
+    saved (subsets are then extracted by the caller)."""
     ckptr = ocp.PyTreeCheckpointer()
+    if template is None:
+        return ckptr.restore(os.path.abspath(path))
     return ckptr.restore(os.path.abspath(path), item=template)

@@ -42,50 +42,94 @@ from eonerf_code_tpu.utils.tb import MetricsLogger
 
 
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
-    """Adam with the reference's per-epoch StepLR(gamma) schedule."""
+    """Adam with the reference's per-epoch StepLR(gamma) schedule, or a
+    step-based variant when cfg.lr_decay_steps is set."""
+    decay_every = cfg.lr_decay_steps or max(steps_per_epoch, 1)
 
     def lr_schedule(step):
-        epoch = step // max(steps_per_epoch, 1)
-        return cfg.lr * (cfg.lr_gamma_per_epoch ** epoch)
+        return cfg.lr * (cfg.lr_gamma_per_epoch ** (step // decay_every))
 
     return optax.adam(learning_rate=lr_schedule)
 
 
+def make_loss_fn(field, rcfg: RenderConfig, has_depth=False, has_conf=False,
+                 has_shadow=False):
+    """Per-batch loss with the reference's schedule semantics
+    (train_eonerf.py:139-155)."""
+
+    def loss_fn(params, batch, key, w_depth, shadows, use_beta):
+        rays = satrays_from_tensor(batch["rays"], batch["ts"])
+        out = render_rays(field, params, rays, key, rcfg, shadows)
+        if use_beta:
+            loss, loss_dict = M.uncertainty_aware_loss(
+                batch["rgbs"], out["rgb"], out["beta"])
+        else:
+            loss = M.mse(out["rgb"], batch["rgbs"])
+            loss_dict = {"loss": loss, "coarse_color": loss}
+        if has_depth:
+            aux, aux_d = M.depth_loss_l2(
+                batch["depth_prior"], out["depth"][:, 0],
+                batch.get("conf_prior") if has_conf else None, w_depth)
+            loss = loss + aux
+            loss_dict.update(aux_d)
+        if has_shadow and shadows:  # start_epoch=2 (train_eonerf.py:155)
+            aux, aux_d = M.shadow_loss_l2(batch["shadow_prior"], out["geo_shadows"][:, 0])
+            loss = loss + aux
+            loss_dict.update(aux_d)
+        loss_dict["psnr"] = M.psnr(out["rgb"], batch["rgbs"])
+        return loss, loss_dict
+
+    return loss_fn
+
+
 def make_train_step(field, optimizer, rcfg: RenderConfig, cfg: TrainConfig,
-                    has_depth=False, has_conf=False, has_shadow=False,
-                    data_sharding=None):
-    """Build the jitted train step. `shadows`/`use_beta` are static —
-    two graph variants over the training run (epochs <2 and >=2)."""
+                    has_depth=False, has_conf=False, has_shadow=False):
+    """Single jitted train step. `shadows`/`use_beta` are static — two graph
+    variants over the training run (epochs <2 and >=2)."""
+    loss_fn = make_loss_fn(field, rcfg, has_depth, has_conf, has_shadow)
 
     def step_fn(params, opt_state, batch, key, w_depth, shadows, use_beta):
-        def loss_fn(params):
-            rays = satrays_from_tensor(batch["rays"], batch["ts"])
-            out = render_rays(field, params, rays, key, rcfg, shadows)
-            if use_beta:
-                loss, loss_dict = M.uncertainty_aware_loss(
-                    batch["rgbs"], out["rgb"], out["beta"])
-            else:
-                loss = M.mse(out["rgb"], batch["rgbs"])
-                loss_dict = {"loss": loss, "coarse_color": loss}
-            if has_depth:
-                aux, aux_d = M.depth_loss_l2(
-                    batch["depth_prior"], out["depth"][:, 0],
-                    batch.get("conf_prior") if has_conf else None, w_depth)
-                loss = loss + aux
-                loss_dict.update(aux_d)
-            if has_shadow and shadows:  # start_epoch=2 (train_eonerf.py:155)
-                aux, aux_d = M.shadow_loss_l2(batch["shadow_prior"], out["geo_shadows"][:, 0])
-                loss = loss + aux
-                loss_dict.update(aux_d)
-            loss_dict["psnr"] = M.psnr(out["rgb"], batch["rgbs"])
-            return loss, loss_dict
-
-        (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, key, w_depth, shadows, use_beta)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss_dict
 
     return jax.jit(step_fn, static_argnames=("shadows", "use_beta"),
+                   donate_argnums=(0, 1))
+
+
+def make_megastep(field, optimizer, rcfg: RenderConfig, cfg: TrainConfig,
+                  has_depth=False, has_conf=False, has_shadow=False):
+    """K train steps scanned inside ONE jit dispatch.
+
+    TPU-native replacement for per-step host dispatch: the ray pool lives on
+    device, the per-step batch indices arrive as a (K, B) block, and
+    `lax.scan` chains K full train steps (render + losses + adam) without
+    touching the host. This amortizes host/tunnel dispatch latency (tens of
+    ms per call on remote-attached chips) across K steps.
+    """
+    loss_fn = make_loss_fn(field, rcfg, has_depth, has_conf, has_shadow)
+
+    def mega_fn(params, opt_state, device_data, idx_block, keys, w_depth,
+                shadows, use_beta):
+        def body(carry, xs):
+            params, opt_state = carry
+            idx, key = xs
+            batch = {k: v[idx] for k, v in device_data.items()}
+            (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, key, w_depth, shadows, use_beta)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss_dict
+
+        (params, opt_state), loss_dicts = jax.lax.scan(
+            body, (params, opt_state), (idx_block, keys))
+        # surface the LAST step's scalars (cheap; full traces live in jsonl)
+        last = jax.tree_util.tree_map(lambda x: x[-1], loss_dicts)
+        return params, opt_state, last
+
+    return jax.jit(mega_fn, static_argnames=("shadows", "use_beta"),
                    donate_argnums=(0, 1))
 
 
@@ -153,10 +197,13 @@ class Trainer:
         self.render_step_size = 2.0 / cfg.n_samples
         self.rcfg = RenderConfig(n_samples=cfg.n_samples, sc_n_samples=cfg.n_samples)
 
+        prior_flags = dict(has_depth="depth_prior" in data,
+                           has_conf="conf_prior" in data,
+                           has_shadow="shadow_prior" in data)
         self.train_step = make_train_step(
-            self.field, self.optimizer, self.rcfg, cfg,
-            has_depth="depth_prior" in data, has_conf="conf_prior" in data,
-            has_shadow="shadow_prior" in data)
+            self.field, self.optimizer, self.rcfg, cfg, **prior_flags)
+        self.megastep = make_megastep(
+            self.field, self.optimizer, self.rcfg, cfg, **prior_flags)
 
         self._occ_update = jax.jit(
             lambda grid, params, k: grid.update(
@@ -192,10 +239,38 @@ class Trainer:
 
     # ---- training ----
 
-    def epoch_flags(self, epoch):
-        shadows = bool(self.cfg.geometric_shadows and epoch >= self.cfg.first_shadow_epoch)
-        use_beta = bool(epoch >= self.cfg.first_beta_epoch)
+    def epoch_flags(self, epoch, step=None):
+        cfg = self.cfg
+        step = self.step if step is None else step
+        if cfg.first_shadow_step is not None:
+            shadows = bool(cfg.geometric_shadows and step >= cfg.first_shadow_step)
+        else:
+            shadows = bool(cfg.geometric_shadows and epoch >= cfg.first_shadow_epoch)
+        if cfg.first_beta_step is not None:
+            use_beta = bool(step >= cfg.first_beta_step)
+        else:
+            use_beta = bool(epoch >= cfg.first_beta_epoch)
         return shadows, use_beta
+
+    def _block_size(self, step, steps_left_epoch, steps_left_total):
+        """Largest scan block starting at `step` that keeps every schedule
+        event (occ update, val, save) on its exact reference step."""
+        cfg = self.cfg
+        k = min(cfg.steps_per_call, steps_left_epoch, steps_left_total)
+        # occ updates run BEFORE the step at multiples of occ_update_every
+        if self._occ_update is not None:
+            k = min(k, cfg.occ_update_every - step % cfg.occ_update_every)
+        # val/save fire AFTER the step at positive multiples of their freq;
+        # the block may contain an event step only as its LAST step
+        for freq in (self.val_freq, self.save_freq):
+            r = step % freq
+            nxt = step if (r == 0 and step > 0) else step + (freq - r)
+            k = min(k, nxt - step + 1)
+        # step-based loss-gate transitions may not happen mid-block
+        for gate in (cfg.first_shadow_step, cfg.first_beta_step):
+            if gate is not None and step < gate:
+                k = min(k, gate - step)
+        return max(k, 1)
 
     def run(self, max_steps=None, log_every=50):
         cfg = self.cfg
@@ -204,46 +279,51 @@ class Trainer:
         tic = time.time()
         rays_done = 0
         w_depth = cfg.depth_weight * (cfg.depth_weight_decay ** self.epoch)
+        next_log = self.step
 
         while self.step < max_steps:
             key, pkey = jax.random.split(key)
             perm = jax.random.permutation(pkey, self.n_rays)
-            shadows, use_beta = self.epoch_flags(self.epoch)
 
-            for i in range(self.steps_per_epoch):
-                if self.step >= max_steps:
-                    break
-                idx = jax.lax.dynamic_slice_in_dim(perm, i * cfg.batch_size, cfg.batch_size)
-                batch = gather_batch(self.device_data, idx)
-
+            i = 0
+            while i < self.steps_per_epoch and self.step < max_steps:
+                shadows, use_beta = self.epoch_flags(self.epoch, self.step)
                 if (self._occ_update is not None
                         and self.step % cfg.occ_update_every == 0):
                     key, okey = jax.random.split(key)
                     self.occ_grid = self._occ_update(self.occ_grid, self.params, okey)
 
+                k = self._block_size(self.step, self.steps_per_epoch - i,
+                                     max_steps - self.step)
+                idx_block = jax.lax.dynamic_slice_in_dim(
+                    perm, i * cfg.batch_size, k * cfg.batch_size
+                ).reshape(k, cfg.batch_size)
                 key, skey = jax.random.split(key)
-                self.params, self.opt_state, loss_dict = self.train_step(
-                    self.params, self.opt_state, batch, skey,
-                    jnp.float32(w_depth), shadows, use_beta)
-                rays_done += cfg.batch_size
+                keys = jax.random.split(skey, k)
+                self.params, self.opt_state, loss_dict = self.megastep(
+                    self.params, self.opt_state, self.device_data, idx_block,
+                    keys, jnp.float32(w_depth), shadows, use_beta)
+                rays_done += k * cfg.batch_size
+                i += k
+                self.step += k
+                done_step = self.step - 1  # index of the last executed step
 
-                if self.step % log_every == 0:
-                    ld = {k: float(v) for k, v in loss_dict.items()}
+                if done_step >= next_log:
+                    ld = {kk: float(v) for kk, v in loss_dict.items()}
                     self.logger.scalars(
-                        {k: v for k, v in ld.items() if k != "psnr"}, self.step, "train/")
-                    self.logger.scalar("train/psnr", ld["psnr"], self.step)
-                    self.logger.scalar("lr", cfg.lr * cfg.lr_gamma_per_epoch**self.epoch, self.step)
-                    self.logger.scalar("epoch", self.epoch, self.step)
+                        {kk: v for kk, v in ld.items() if kk != "psnr"}, done_step, "train/")
+                    self.logger.scalar("train/psnr", ld["psnr"], done_step)
+                    self.logger.scalar("lr", cfg.lr * cfg.lr_gamma_per_epoch**self.epoch, done_step)
+                    self.logger.scalar("epoch", self.epoch, done_step)
                     dt = time.time() - tic
-                    if dt > 0 and self.step > 0:
-                        self.logger.scalar("perf/rays_per_sec", rays_done / dt, self.step)
+                    if dt > 0 and done_step > 0:
+                        self.logger.scalar("perf/rays_per_sec", rays_done / dt, done_step)
+                    next_log = done_step + log_every
 
-                if self.step > 0 and self.step % self.save_freq == 0:
+                if done_step > 0 and done_step % self.save_freq == 0:
                     self.save()
-                if self.step > 0 and self.step % self.val_freq == 0:
+                if done_step > 0 and done_step % self.val_freq == 0:
                     self.validate()
-
-                self.step += 1
 
             self.epoch += 1
             w_depth *= cfg.depth_weight_decay
