@@ -25,7 +25,10 @@ import numpy as np
 A100_BASELINE_RAYS_PER_SEC = 10_000.0
 
 
-def build_step(n_images=10, n_samples=128, compute_dtype="bfloat16"):
+def build_step(n_images=10, n_samples=128, compute_dtype="bfloat16", scan_steps=20):
+    """Returns (megastep, params, opt_state): `scan_steps` full train steps
+    chained by lax.scan inside one jit dispatch — the framework's real
+    training operating mode (train/loop.py make_megastep)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -45,17 +48,27 @@ def build_step(n_images=10, n_samples=128, compute_dtype="bfloat16"):
     rcfg = RenderConfig(n_samples=n_samples, sc_n_samples=n_samples)
 
     @jax.jit
-    def train_step(params, opt_state, batch, key):
-        def loss_fn(p):
+    def megastep(params, opt_state, batch, keys):
+        def loss_fn(p, key):
             rays = satrays_from_tensor(batch["rays"], batch["ts"])
             out = render_rays(field, p, rays, key, rcfg, shadows=True)
             loss, _ = M.uncertainty_aware_loss(batch["rgbs"], out["rgb"], out["beta"])
             return loss
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        def body(carry, key):
+            p, o = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p, key)
+            updates, o = optimizer.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o), loss
 
+        (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), keys)
+        return params, opt_state, losses[-1]
+
+    def train_step(params, opt_state, batch, key):
+        keys = jax.random.split(key, scan_steps)
+        return megastep(params, opt_state, batch, keys)
+
+    train_step.scan_steps = scan_steps
     return train_step, params, opt_state
 
 
@@ -80,10 +93,10 @@ def make_batch(n_rays, n_images=10, seed=0):
     }
 
 
-def time_batch(train_step, params, opt_state, batch_size, warmup=3, iters=100):
-    """Chained steps on device; completion forced by a host SCALAR fetch of
-    the final loss (on the tunneled axon backend, block_until_ready alone is
-    not a reliable completion barrier and large-array fetches are slow)."""
+def time_batch(train_step, params, opt_state, batch_size, warmup=2, iters=10):
+    """Chained megasteps on device; completion forced by a host SCALAR fetch
+    of the final loss (on the tunneled axon backend, block_until_ready alone
+    is not a reliable completion barrier and large-array fetches are slow)."""
     import jax
 
     batch = make_batch(batch_size)
@@ -97,7 +110,7 @@ def time_batch(train_step, params, opt_state, batch_size, warmup=3, iters=100):
         p, o, loss = train_step(p, o, batch, jax.random.fold_in(key, 100 + i))
     _ = float(loss)  # forces the whole dependency chain
     dt = time.perf_counter() - t0
-    return batch_size * iters / dt
+    return batch_size * iters * train_step.scan_steps / dt
 
 
 def main():
@@ -105,10 +118,10 @@ def main():
 
     results = {}
     train_step, params, opt_state = build_step()
-    for bs in (1024, 4096, 16384):
+    for bs in (1024, 4096, 8192):
         try:
             results[bs] = time_batch(train_step, params, opt_state, bs)
-        except Exception as e:  # OOM on larger batches is informative, not fatal
+        except Exception:  # OOM on larger batches is informative, not fatal
             results[bs] = None
     valid = {k: v for k, v in results.items() if v}
     best_bs = max(valid, key=valid.get)

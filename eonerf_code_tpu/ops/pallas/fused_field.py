@@ -1,0 +1,510 @@
+"""Fused EO-NeRF field evaluation as Pallas TPU kernels.
+
+The training hot loop evaluates ~10^5..10^6 sample points per step through
+the 8x256 trunk + heads (SURVEY §3.2). Left to XLA, every layer's (N, 256)
+activation round-trips HBM (arithmetic intensity ~32 flop/byte vs the ~240
+needed to saturate the MXU). These kernels keep ALL weights and the running
+activations in VMEM and stream only points in / outputs out:
+
+- `make_fused_field()(weights, pos, emb)` -> (sigma, albedo, t_s, t_beta):
+  the per-sample heads of EONerfField.__call__ (the per-ray ambient head
+  stays in XLA — it is O(rays), not O(samples)).
+- `make_fused_density()(weights, pos)` -> sigma (shadow pass, occupancy).
+
+Both are `jax.custom_vjp` ops whose BACKWARD is also one Pallas kernel per
+tile: the forward is recomputed in VMEM (flash-style rematerialization) and
+gradients for the inputs and every weight are produced in a single pass;
+weight gradients accumulate across the sequential TPU grid into
+constant-index output blocks.
+
+Numerics: matmuls run in the requested compute dtype (bfloat16 by default)
+with float32 accumulation — matching the flax path's mixed-precision
+recipe; parity tests pin forward outputs and gradients against flax.
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+POS_DEG = 10  # positional encoding degrees (eonerf.py:80)
+PE_DIM = 3 + 6 * POS_DEG  # 63
+
+
+class FieldWeights(NamedTuple):
+    """Flat, kernel-ready view of the EONerfField per-sample parameters."""
+
+    trunk_w: tuple  # 8 matrices; layer 5 takes the skip concat (319, 256)
+    trunk_b: tuple  # 8 x (1, 256)
+    sigma_w: jnp.ndarray  # (256, 1)
+    sigma_b: jnp.ndarray  # (1, 1)
+    bott_w: jnp.ndarray  # (256, 256)
+    bott_b: jnp.ndarray  # (1, 256)
+    alb_w0: jnp.ndarray  # (256, 128)
+    alb_b0: jnp.ndarray  # (1, 128)
+    alb_w1: jnp.ndarray  # (128, 3)
+    alb_b1: jnp.ndarray  # (1, 3)
+    tr_w: tuple  # 4 matrices; first is (260, 128)
+    tr_b: tuple  # 4 x (1, 128)
+    ts_w: jnp.ndarray  # (128, 1)
+    ts_b: jnp.ndarray  # (1, 1)
+    tb_w: jnp.ndarray  # (128, 1)
+    tb_b: jnp.ndarray  # (1, 1)
+
+
+def pack_params(params):
+    """flax EONerfField params -> FieldWeights (biases as (1, d) rows)."""
+    p = params["params"]
+
+    def wb(scope, name):
+        layer = p[scope][name]
+        return layer["kernel"], layer["bias"].reshape(1, -1)
+
+    trunk_w, trunk_b = zip(*(wb("trunk", f"hidden_{i}") for i in range(8)))
+    sigma_w, sigma_b = wb("sigma_head", "output")
+    bott_w, bott_b = wb("bottleneck", "output")
+    alb_w0, alb_b0 = wb("albedo_mlp", "hidden_0")
+    alb_w1, alb_b1 = wb("albedo_mlp", "output")
+    tr_w, tr_b = zip(*(wb("transient_mlp", f"hidden_{i}") for i in range(4)))
+    ts_w, ts_b = wb("transient_scalar", "output")
+    tb_w, tb_b = wb("transient_beta", "output")
+    return FieldWeights(tuple(trunk_w), tuple(trunk_b), sigma_w, sigma_b,
+                        bott_w, bott_b, alb_w0, alb_b0, alb_w1, alb_b1,
+                        tuple(tr_w), tuple(tr_b), ts_w, ts_b, tb_w, tb_b)
+
+
+def flatten_weights(w: FieldWeights):
+    return [*w.trunk_w, *w.trunk_b, w.sigma_w, w.sigma_b, w.bott_w, w.bott_b,
+            w.alb_w0, w.alb_b0, w.alb_w1, w.alb_b1, *w.tr_w, *w.tr_b,
+            w.ts_w, w.ts_b, w.tb_w, w.tb_b]
+
+
+def unflatten_weights(flat):
+    it = list(flat)
+    return FieldWeights(tuple(it[0:8]), tuple(it[8:16]), it[16], it[17],
+                        it[18], it[19], it[20], it[21], it[22], it[23],
+                        tuple(it[24:28]), tuple(it[28:32]), it[32], it[33],
+                        it[34], it[35])
+
+
+N_WEIGHTS = 36
+N_DENSITY_WEIGHTS = 18  # trunk (8+8) + sigma head (2)
+
+
+def density_subset(w: FieldWeights):
+    return [*w.trunk_w, *w.trunk_b, w.sigma_w, w.sigma_b]
+
+
+# ---------------------------------------------------------------------------
+# shared math (used identically in forward and backward-recompute)
+# ---------------------------------------------------------------------------
+
+def _pe(x):
+    """[x | sin(x 2^i) | cos(x 2^i)], degree-major (encoders.py layout)."""
+    xb = jnp.concatenate([x * (2.0**i) for i in range(POS_DEG)], axis=-1)
+    return jnp.concatenate([x, jnp.sin(xb), jnp.cos(xb)], axis=-1)
+
+
+def _mm(a, w, b, dtype):
+    out = jax.lax.dot_general(a.astype(dtype), w.astype(dtype),
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return out if b is None else out + b.astype(jnp.float32)
+
+
+def _mm_t(g, w, dtype):
+    """g @ w.T with f32 accumulation."""
+    return jax.lax.dot_general(g.astype(dtype), w.astype(dtype),
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _outer(a, g, dtype):
+    """a.T @ g — weight gradient contribution."""
+    return jax.lax.dot_general(a.astype(dtype), g.astype(dtype),
+                               (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _softplus(x):
+    return jnp.logaddexp(x, 0.0)
+
+
+def _trunk_fwd(pe, w: FieldWeights, dtype):
+    """Returns the list of post-relu activations h0..h7."""
+    acts = []
+    h = jnp.maximum(_mm(pe, w.trunk_w[0], w.trunk_b[0], dtype), 0.0)
+    acts.append(h)
+    for i in range(1, 8):
+        inp = jnp.concatenate([h, pe], axis=-1) if i == 5 else h
+        h = jnp.maximum(_mm(inp, w.trunk_w[i], w.trunk_b[i], dtype), 0.0)
+        acts.append(h)
+    return acts
+
+
+def _trunk_bwd(pe, acts, g_h, w: FieldWeights, dtype, dws, dbs):
+    """Backprop through the trunk. Fills dws/dbs lists (index i) and returns
+    d_pe."""
+    g_pe = jnp.zeros_like(pe)
+    for i in range(7, -1, -1):
+        g_pre = jnp.where(acts[i] > 0, g_h, 0.0)
+        if i == 0:
+            inp = pe
+        elif i == 5:
+            inp = jnp.concatenate([acts[4], pe], axis=-1)
+        else:
+            inp = acts[i - 1]
+        dws[i] = _outer(inp, g_pre, dtype)
+        dbs[i] = jnp.sum(g_pre, axis=0, keepdims=True)
+        g_in = _mm_t(g_pre, w.trunk_w[i], dtype)
+        if i == 5:
+            g_h = g_in[:, :256]
+            g_pe = g_pe + g_in[:, 256:]
+        elif i == 0:
+            g_pe = g_pe + g_in
+        else:
+            g_h = g_in
+    return g_pe
+
+
+def _pe_bwd(x, g_pe):
+    """d(pe)/d(x): identity block + sin/cos chain rules."""
+    g_x = g_pe[:, :3]
+    for i in range(POS_DEG):
+        s = 2.0**i
+        xb = x * s
+        g_sin = g_pe[:, 3 + 3 * i: 6 + 3 * i]
+        g_cos = g_pe[:, 3 + 3 * POS_DEG + 3 * i: 6 + 3 * POS_DEG + 3 * i]
+        g_x = g_x + s * (jnp.cos(xb) * g_sin - jnp.sin(xb) * g_cos)
+    return g_x
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _field_fwd_kernel(dtype, pos_ref, emb_ref, *rest):
+    weight_refs, out_ref = rest[:N_WEIGHTS], rest[N_WEIGHTS]
+    w = unflatten_weights([r[:] for r in weight_refs])
+    pe = _pe(pos_ref[:].astype(jnp.float32))
+    h = _trunk_fwd(pe, w, dtype)[-1]
+    sigma = _softplus(_mm(h, w.sigma_w, w.sigma_b, dtype))
+    bott = _mm(h, w.bott_w, w.bott_b, dtype)
+    ah = jnp.maximum(_mm(bott, w.alb_w0, w.alb_b0, dtype), 0.0)
+    albedo = jax.nn.sigmoid(_mm(ah, w.alb_w1, w.alb_b1, dtype))
+    t = jnp.concatenate([bott, emb_ref[:].astype(jnp.float32)], axis=-1)
+    for i in range(4):
+        t = jnp.maximum(_mm(t, w.tr_w[i], w.tr_b[i], dtype), 0.0)
+    ts = jax.nn.sigmoid(_mm(t, w.ts_w, w.ts_b, dtype))
+    tb = _softplus(_mm(t, w.tb_w, w.tb_b, dtype))
+    pad = jnp.zeros_like(ts)
+    out_ref[:] = jnp.concatenate([sigma, albedo, ts, tb, pad, pad], axis=-1)
+
+
+def _field_bwd_kernel(dtype, pos_ref, emb_ref, g_ref, *rest):
+    weight_refs = rest[:N_WEIGHTS]
+    out_refs = rest[N_WEIGHTS:]  # d_pos, d_emb, then 36 weight-grad refs
+    dpos_ref, demb_ref = out_refs[0], out_refs[1]
+    dw_refs = out_refs[2:]
+    w = unflatten_weights([r[:] for r in weight_refs])
+
+    # ---- recompute forward, keeping activations ----
+    x = pos_ref[:].astype(jnp.float32)
+    emb = emb_ref[:].astype(jnp.float32)
+    pe = _pe(x)
+    acts = _trunk_fwd(pe, w, dtype)
+    h = acts[-1]
+    sig_pre = _mm(h, w.sigma_w, w.sigma_b, dtype)
+    bott = _mm(h, w.bott_w, w.bott_b, dtype)
+    ah = jnp.maximum(_mm(bott, w.alb_w0, w.alb_b0, dtype), 0.0)
+    albedo = jax.nn.sigmoid(_mm(ah, w.alb_w1, w.alb_b1, dtype))
+    t_in = jnp.concatenate([bott, emb], axis=-1)
+    t_acts = []
+    t = t_in
+    for i in range(4):
+        t = jnp.maximum(_mm(t, w.tr_w[i], w.tr_b[i], dtype), 0.0)
+        t_acts.append(t)
+    ts = jax.nn.sigmoid(_mm(t, w.ts_w, w.ts_b, dtype))
+    tb_pre = _mm(t, w.tb_w, w.tb_b, dtype)
+
+    # ---- backward ----
+    g = g_ref[:].astype(jnp.float32)
+    g_sigma, g_alb, g_ts, g_tb = g[:, 0:1], g[:, 1:4], g[:, 4:5], g[:, 5:6]
+
+    g_sig_pre = g_sigma * jax.nn.sigmoid(sig_pre)
+    g_ts_pre = g_ts * ts * (1.0 - ts)
+    g_tb_pre = g_tb * jax.nn.sigmoid(tb_pre)
+
+    grads = {}
+    grads["ts_w"] = _outer(t_acts[3], g_ts_pre, dtype)
+    grads["ts_b"] = jnp.sum(g_ts_pre, axis=0, keepdims=True)
+    grads["tb_w"] = _outer(t_acts[3], g_tb_pre, dtype)
+    grads["tb_b"] = jnp.sum(g_tb_pre, axis=0, keepdims=True)
+
+    g_t = _mm_t(g_ts_pre, w.ts_w, dtype) + _mm_t(g_tb_pre, w.tb_w, dtype)
+    tr_dw = [None] * 4
+    tr_db = [None] * 4
+    for i in range(3, -1, -1):
+        g_pre = jnp.where(t_acts[i] > 0, g_t, 0.0)
+        inp = t_in if i == 0 else t_acts[i - 1]
+        tr_dw[i] = _outer(inp, g_pre, dtype)
+        tr_db[i] = jnp.sum(g_pre, axis=0, keepdims=True)
+        g_t = _mm_t(g_pre, w.tr_w[i], dtype)
+    g_bott_t = g_t[:, :256]
+    g_emb = g_t[:, 256:260]
+
+    g_alb_pre = g_alb * albedo * (1.0 - albedo)
+    grads["alb_w1"] = _outer(ah, g_alb_pre, dtype)
+    grads["alb_b1"] = jnp.sum(g_alb_pre, axis=0, keepdims=True)
+    g_ah = jnp.where(ah > 0, _mm_t(g_alb_pre, w.alb_w1, dtype), 0.0)
+    grads["alb_w0"] = _outer(bott, g_ah, dtype)
+    grads["alb_b0"] = jnp.sum(g_ah, axis=0, keepdims=True)
+    g_bott = g_bott_t + _mm_t(g_ah, w.alb_w0, dtype)
+
+    grads["bott_w"] = _outer(h, g_bott, dtype)
+    grads["bott_b"] = jnp.sum(g_bott, axis=0, keepdims=True)
+    grads["sigma_w"] = _outer(h, g_sig_pre, dtype)
+    grads["sigma_b"] = jnp.sum(g_sig_pre, axis=0, keepdims=True)
+    g_h = _mm_t(g_bott, w.bott_w, dtype) + _mm_t(g_sig_pre, w.sigma_w, dtype)
+
+    trunk_dw = [None] * 8
+    trunk_db = [None] * 8
+    g_pe = _trunk_bwd(pe, acts, g_h, w, dtype, trunk_dw, trunk_db)
+
+    dpos_ref[:] = _pe_bwd(x, g_pe)
+    demb_ref[:] = g_emb
+
+    contribs = (trunk_dw + trunk_db
+                + [grads["sigma_w"], grads["sigma_b"], grads["bott_w"], grads["bott_b"],
+                   grads["alb_w0"], grads["alb_b0"], grads["alb_w1"], grads["alb_b1"]]
+                + tr_dw + tr_db
+                + [grads["ts_w"], grads["ts_b"], grads["tb_w"], grads["tb_b"]])
+    first = pl.program_id(0) == 0
+    for ref, contrib in zip(dw_refs, contribs):
+        @pl.when(first)
+        def _(ref=ref, contrib=contrib):
+            ref[:] = contrib
+
+        @pl.when(jnp.logical_not(first))
+        def _(ref=ref, contrib=contrib):
+            ref[:] = ref[:] + contrib
+
+
+def _density_fwd_kernel(dtype, pos_ref, *rest):
+    weight_refs, out_ref = rest[:N_DENSITY_WEIGHTS], rest[N_DENSITY_WEIGHTS]
+    tw = [r[:] for r in weight_refs[:8]]
+    tb = [r[:] for r in weight_refs[8:16]]
+    sw, sb = weight_refs[16][:], weight_refs[17][:]
+    w = FieldWeights(tuple(tw), tuple(tb), sw, sb, *([None] * 12))
+    pe = _pe(pos_ref[:].astype(jnp.float32))
+    h = _trunk_fwd(pe, w, dtype)[-1]
+    sigma = _softplus(_mm(h, sw, sb, dtype))
+    out_ref[:] = sigma
+
+
+def _density_bwd_kernel(dtype, pos_ref, g_ref, *rest):
+    weight_refs = rest[:N_DENSITY_WEIGHTS]
+    out_refs = rest[N_DENSITY_WEIGHTS:]
+    dpos_ref = out_refs[0]
+    dw_refs = out_refs[1:]
+    tw = [r[:] for r in weight_refs[:8]]
+    tb = [r[:] for r in weight_refs[8:16]]
+    sw, sb = weight_refs[16][:], weight_refs[17][:]
+    w = FieldWeights(tuple(tw), tuple(tb), sw, sb, *([None] * 12))
+
+    x = pos_ref[:].astype(jnp.float32)
+    pe = _pe(x)
+    acts = _trunk_fwd(pe, w, dtype)
+    h = acts[-1]
+    sig_pre = _mm(h, sw, sb, dtype)
+
+    g = g_ref[:].astype(jnp.float32)
+    g_sig_pre = g * jax.nn.sigmoid(sig_pre)
+    dsw = _outer(h, g_sig_pre, dtype)
+    dsb = jnp.sum(g_sig_pre, axis=0, keepdims=True)
+    g_h = _mm_t(g_sig_pre, sw, dtype)
+
+    trunk_dw = [None] * 8
+    trunk_db = [None] * 8
+    g_pe = _trunk_bwd(pe, acts, g_h, w, dtype, trunk_dw, trunk_db)
+    dpos_ref[:] = _pe_bwd(x, g_pe)
+
+    contribs = trunk_dw + trunk_db + [dsw, dsb]
+    first = pl.program_id(0) == 0
+    for ref, contrib in zip(dw_refs, contribs):
+        @pl.when(first)
+        def _(ref=ref, contrib=contrib):
+            ref[:] = contrib
+
+        @pl.when(jnp.logical_not(first))
+        def _(ref=ref, contrib=contrib):
+            ref[:] = ref[:] + contrib
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing
+# ---------------------------------------------------------------------------
+
+def _tile_spec(tile, ncols):
+    return pl.BlockSpec((tile, ncols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _const_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
+
+
+def _pad_rows(x, tile):
+    n = x.shape[0]
+    pad = (-n) % tile
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, *x.shape[1:]), x.dtype)], axis=0)
+    return x
+
+
+def make_fused_field(compute_dtype=jnp.bfloat16, tile=1024, bwd_tile=512,
+                     interpret=False):
+    """Returns fused(weights: FieldWeights, pos (N,3), emb (N,4)) ->
+    (sigma (N,), albedo (N,3), t_s (N,1), t_beta (N,1)) with a Pallas
+    forward AND backward.
+
+    VMEM budget: forward holds the weights (~2.8 MB f32) plus one tile of
+    activations; backward additionally holds all trunk activations and the
+    weight-gradient accumulators, hence the smaller default bwd_tile."""
+
+    def _forward(weights, pos, emb):
+        n = pos.shape[0]
+        pos_p = _pad_rows(pos.astype(jnp.float32), tile)
+        emb_p = _pad_rows(emb.astype(jnp.float32), tile)
+        npad = pos_p.shape[0]
+        flat = flatten_weights(weights)
+        out = pl.pallas_call(
+            functools.partial(_field_fwd_kernel, compute_dtype),
+            out_shape=jax.ShapeDtypeStruct((npad, 8), jnp.float32),
+            grid=(npad // tile,),
+            in_specs=[_tile_spec(tile, 3), _tile_spec(tile, 4)]
+                     + [_const_spec(wt.shape) for wt in flat],
+            out_specs=_tile_spec(tile, 8),
+            interpret=interpret,
+        )(pos_p, emb_p, *flat)
+        return out[:n]
+
+    def _backward(weights, pos, emb, g):
+        n = pos.shape[0]
+        pos_p = _pad_rows(pos.astype(jnp.float32), bwd_tile)
+        emb_p = _pad_rows(emb.astype(jnp.float32), bwd_tile)
+        g_p = _pad_rows(g.astype(jnp.float32), bwd_tile)
+        npad = pos_p.shape[0]
+        flat = flatten_weights(weights)
+        out_shapes = ([jax.ShapeDtypeStruct((npad, 3), jnp.float32),
+                       jax.ShapeDtypeStruct((npad, 4), jnp.float32)]
+                      + [jax.ShapeDtypeStruct(wt.shape, jnp.float32) for wt in flat])
+        out_specs = ([_tile_spec(bwd_tile, 3), _tile_spec(bwd_tile, 4)]
+                     + [_const_spec(wt.shape) for wt in flat])
+        outs = pl.pallas_call(
+            functools.partial(_field_bwd_kernel, compute_dtype),
+            out_shape=tuple(out_shapes),
+            grid=(npad // bwd_tile,),
+            in_specs=[_tile_spec(bwd_tile, 3), _tile_spec(bwd_tile, 4),
+                      _tile_spec(bwd_tile, 8)]
+                     + [_const_spec(wt.shape) for wt in flat],
+            out_specs=tuple(out_specs),
+            interpret=interpret,
+        )(pos_p, emb_p, g_p, *flat)
+        d_pos = outs[0][:n]
+        d_emb = outs[1][:n]
+        d_weights = unflatten_weights([d.astype(wt.dtype)
+                                       for d, wt in zip(outs[2:], flat)])
+        return d_weights, d_pos, d_emb
+
+    @jax.custom_vjp
+    def fused(weights, pos, emb):
+        out = _forward(weights, pos, emb)
+        return out[:, 0], out[:, 1:4], out[:, 4:5], out[:, 5:6]
+
+    def fwd(weights, pos, emb):
+        return fused(weights, pos, emb), (weights, pos, emb)
+
+    def bwd(res, cot):
+        weights, pos, emb = res
+        g_sigma, g_alb, g_ts, g_tb = cot
+        g = jnp.concatenate([g_sigma[:, None], g_alb, g_ts, g_tb,
+                             jnp.zeros((pos.shape[0], 2), jnp.float32)], axis=-1)
+        return _backward(weights, pos, emb, g)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def make_fused_density(compute_dtype=jnp.bfloat16, tile=1024, bwd_tile=512,
+                       interpret=False):
+    """Returns fused(weights: FieldWeights, pos (N,3)) -> sigma (N,) with a
+    Pallas forward AND backward (gradients flow to pos and the trunk/sigma
+    weights; head weights get zeros)."""
+
+    def _forward(weights, pos):
+        n = pos.shape[0]
+        pos_p = _pad_rows(pos.astype(jnp.float32), tile)
+        npad = pos_p.shape[0]
+        flat = density_subset(weights)
+        out = pl.pallas_call(
+            functools.partial(_density_fwd_kernel, compute_dtype),
+            out_shape=jax.ShapeDtypeStruct((npad, 1), jnp.float32),
+            grid=(npad // tile,),
+            in_specs=[_tile_spec(tile, 3)] + [_const_spec(wt.shape) for wt in flat],
+            out_specs=_tile_spec(tile, 1),
+            interpret=interpret,
+        )(pos_p, *flat)
+        return out[:n, 0]
+
+    def _backward(weights, pos, g):
+        n = pos.shape[0]
+        pos_p = _pad_rows(pos.astype(jnp.float32), bwd_tile)
+        g_p = _pad_rows(g.astype(jnp.float32).reshape(-1, 1), bwd_tile)
+        npad = pos_p.shape[0]
+        flat = density_subset(weights)
+        out_shapes = ([jax.ShapeDtypeStruct((npad, 3), jnp.float32)]
+                      + [jax.ShapeDtypeStruct(wt.shape, jnp.float32) for wt in flat])
+        out_specs = ([_tile_spec(bwd_tile, 3)] + [_const_spec(wt.shape) for wt in flat])
+        outs = pl.pallas_call(
+            functools.partial(_density_bwd_kernel, compute_dtype),
+            out_shape=tuple(out_shapes),
+            grid=(npad // bwd_tile,),
+            in_specs=[_tile_spec(bwd_tile, 3), _tile_spec(bwd_tile, 1)]
+                     + [_const_spec(wt.shape) for wt in flat],
+            out_specs=tuple(out_specs),
+            interpret=interpret,
+        )(pos_p, g_p, *flat)
+        d_pos = outs[0][:n]
+        d_flat = outs[1:]
+        z = jnp.zeros_like
+        dw = FieldWeights(
+            trunk_w=tuple(d.astype(w_.dtype) for d, w_ in zip(d_flat[0:8], flat[0:8])),
+            trunk_b=tuple(d.astype(w_.dtype) for d, w_ in zip(d_flat[8:16], flat[8:16])),
+            sigma_w=d_flat[16].astype(flat[16].dtype),
+            sigma_b=d_flat[17].astype(flat[17].dtype),
+            bott_w=z(weights.bott_w), bott_b=z(weights.bott_b),
+            alb_w0=z(weights.alb_w0), alb_b0=z(weights.alb_b0),
+            alb_w1=z(weights.alb_w1), alb_b1=z(weights.alb_b1),
+            tr_w=tuple(z(a) for a in weights.tr_w),
+            tr_b=tuple(z(a) for a in weights.tr_b),
+            ts_w=z(weights.ts_w), ts_b=z(weights.ts_b),
+            tb_w=z(weights.tb_w), tb_b=z(weights.tb_b))
+        return dw, d_pos
+
+    @jax.custom_vjp
+    def fused(weights, pos):
+        return _forward(weights, pos)
+
+    def fwd(weights, pos):
+        return fused(weights, pos), (weights, pos)
+
+    def bwd(res, g):
+        weights, pos = res
+        return _backward(weights, pos, g)
+
+    fused.defvjp(fwd, bwd)
+    return fused
