@@ -78,8 +78,11 @@ class TrainConfig:
     save_freq: Optional[int] = None
     n_val_images: int = 5
 
-    # parallelism
+    # parallelism / backend
     data_axis: int = 1                   # devices on the ray-batch mesh axis
+    use_pallas: bool = False             # fused Pallas field kernels (opt-in;
+                                         # XLA already runs this workload at
+                                         # ~75% of matmul peak on v5e)
 
     def __post_init__(self):
         if self.model == "eo-nerf":

@@ -142,6 +142,11 @@ class EONerfField(nn.Module):
         t_beta = self.transient_beta(th)
         return sigma, albedo, ambient, t_s, t_beta
 
+    def ambient(self, sun_d):
+        """Per-ray ambient color head only (used by the fused-kernel path,
+        where the per-sample heads run in Pallas)."""
+        return self.ambient_mlp(sinusoidal_encode(sun_d, 0, self.view_enc_deg))
+
     def radiometric(self, img_idx):
         """Per-image radiometric transform (A, b, ambient_bias).
 

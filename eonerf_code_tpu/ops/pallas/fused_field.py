@@ -20,6 +20,15 @@ constant-index output blocks.
 Numerics: matmuls run in the requested compute dtype (bfloat16 by default)
 with float32 accumulation — matching the flax path's mixed-precision
 recipe; parity tests pin forward outputs and gradients against flax.
+
+Performance status (v5e, measured via the remote-attached chip): XLA
+already executes this workload at ~75% of the device's achievable matmul
+throughput (8.8 ms for a bs=1024 x 127-sample grad step vs the ~6.6 ms
+compute bound), so these kernels currently do NOT beat the XLA path (the
+backward's 36 VMEM-resident gradient accumulators force small tiles).
+They are kept as a correct, fully tested opt-in backend
+(TrainConfig.use_pallas) and the substrate for future variants (bf16
+weight residency, split input-grad/weight-grad backward).
 """
 
 import functools

@@ -1,0 +1,130 @@
+"""Multi-AOI batched training: independent scene models at pod scale.
+
+BASELINE.json configs[4] calls for "multi-AOI batched training, 1M-ray
+megabatches ... at pod scale". The reference trains one AOI per process;
+here S independent AOI scenes train in ONE jit program over a
+("scene", "data") mesh:
+
+- every AOI has its own EONerfField parameter set; parameters are STACKED
+  on a leading scene axis and sharded over the "scene" mesh axis (a form of
+  expert parallelism over independent MLPs — no cross-scene collectives);
+- each scene's ray megabatch is sharded over the "data" axis; gradient
+  psums ride ICI within each scene's data group;
+- the train step is a vmap of the single-scene step over the scene axis,
+  so XLA partitions it as S fully parallel programs.
+
+Scenes may have different image counts; embedding tables are padded to the
+max image count (unused rows receive zero gradient).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from eonerf_code_tpu.data.rays import satrays_from_tensor
+from eonerf_code_tpu.models.eonerf import EONerfField
+from eonerf_code_tpu.render.satellite import RenderConfig, render_rays
+from eonerf_code_tpu.utils import metrics as M
+
+
+def stack_params(params_list):
+    """List of per-scene param pytrees -> one pytree with leading scene axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *params_list)
+
+
+def unstack_params(stacked, n_scenes):
+    return [jax.tree_util.tree_map(lambda x: x[i], stacked) for i in range(n_scenes)]
+
+
+class MultiAOITrainer:
+    """Minimal scene-parallel trainer over device-resident per-scene ray
+    pools. Pools are truncated to a common length so batches stack into a
+    dense (S, B, ...) block."""
+
+    def __init__(self, datasets, mesh, cfg=None, n_samples=64, batch_size=1024,
+                 lr=5e-4, net_depth=8, net_width=256, seed=42,
+                 compute_dtype=jnp.float32):
+        self.mesh = mesh
+        self.n_scenes = len(datasets)
+        assert mesh.shape["scene"] == self.n_scenes or mesh.shape["scene"] == 1 or \
+            self.n_scenes % mesh.shape["scene"] == 0, \
+            "scene count must tile the scene mesh axis"
+        self.batch_size = batch_size
+        self.rcfg = RenderConfig(n_samples=n_samples, sc_n_samples=n_samples)
+
+        n_images = max(len(d.json_files) for d in datasets)
+        self.field = EONerfField(n_images=n_images, net_depth=net_depth,
+                                 net_width=net_width, compute_dtype=compute_dtype)
+        key = jax.random.PRNGKey(seed)
+        params_list = [
+            self.field.init(jax.random.fold_in(key, i), jnp.zeros((2, 3, 3)),
+                            jnp.zeros((2, 3)), jnp.zeros((2,), jnp.int32),
+                            method="init_all")
+            for i in range(self.n_scenes)
+        ]
+        self.params = stack_params(params_list)
+        self.optimizer = optax.adam(lr)
+        self.opt_state = jax.vmap(self.optimizer.init)(self.params)
+
+        n_min = min(d.all_rays.shape[0] for d in datasets)
+        self.n_rays = n_min
+        self.data = {
+            "rays": jnp.stack([jnp.asarray(d.all_rays[:n_min]) for d in datasets]),
+            "rgbs": jnp.stack([jnp.asarray(d.all_rgbs[:n_min]) for d in datasets]),
+            "ts": jnp.stack([jnp.asarray(d.all_ids_img[:n_min, 0].astype(np.int32))
+                             for d in datasets]),
+        }
+
+        # shardings: leading scene axis over "scene"; rays over "data"
+        self.scene_sharding = NamedSharding(mesh, P("scene"))
+        self.params = jax.device_put(self.params, self.scene_sharding)
+        self.opt_state = jax.device_put(self.opt_state, self.scene_sharding)
+        self.data = {k: jax.device_put(v, NamedSharding(mesh, P("scene", "data")))
+                     for k, v in self.data.items()}
+
+        field, rcfg, optimizer = self.field, self.rcfg, self.optimizer
+
+        def scene_step(params, opt_state, batch, key, shadows):
+            def loss_fn(p):
+                rays = satrays_from_tensor(batch["rays"], batch["ts"])
+                out = render_rays(field, p, rays, key, rcfg, shadows)
+                loss, _ = M.uncertainty_aware_loss(batch["rgbs"], out["rgb"], out["beta"])
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        @functools.partial(jax.jit, static_argnames=("shadows",),
+                           donate_argnums=(0, 1))
+        def multi_step(params, opt_state, data, idx, keys, shadows):
+            batch = {k: jnp.take_along_axis(
+                v, idx.reshape(self.n_scenes, -1, *([1] * (v.ndim - 2))), axis=1)
+                for k, v in data.items()}
+            return jax.vmap(scene_step, in_axes=(0, 0, 0, 0, None))(
+                params, opt_state, batch, keys, shadows)
+
+        self._multi_step = multi_step
+        self._key = jax.random.fold_in(key, 10_000)
+        self.step = 0
+
+    def train_steps(self, n_steps, shadows=False):
+        """Run n_steps scene-parallel steps; returns per-scene losses of the
+        last step."""
+        losses = None
+        for _ in range(n_steps):
+            self._key, k1, k2 = jax.random.split(self._key, 3)
+            idx = jax.random.randint(k1, (self.n_scenes, self.batch_size),
+                                     0, self.n_rays)
+            keys = jax.random.split(k2, self.n_scenes)
+            self.params, self.opt_state, losses = self._multi_step(
+                self.params, self.opt_state, self.data, idx, keys, shadows)
+            self.step += 1
+        return losses
+
+    def scene_params(self, i):
+        return jax.tree_util.tree_map(lambda x: x[i], self.params)

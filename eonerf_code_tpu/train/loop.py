@@ -197,13 +197,19 @@ class Trainer:
         self.render_step_size = 2.0 / cfg.n_samples
         self.rcfg = RenderConfig(n_samples=cfg.n_samples, sc_n_samples=cfg.n_samples)
 
+        render_field = self.field
+        if cfg.use_pallas:
+            from eonerf_code_tpu.models.fused import PallasField
+
+            render_field = PallasField(self.field)
+        self.render_field = render_field
         prior_flags = dict(has_depth="depth_prior" in data,
                            has_conf="conf_prior" in data,
                            has_shadow="shadow_prior" in data)
         self.train_step = make_train_step(
-            self.field, self.optimizer, self.rcfg, cfg, **prior_flags)
+            render_field, self.optimizer, self.rcfg, cfg, **prior_flags)
         self.megastep = make_megastep(
-            self.field, self.optimizer, self.rcfg, cfg, **prior_flags)
+            render_field, self.optimizer, self.rcfg, cfg, **prior_flags)
 
         self._occ_update = jax.jit(
             lambda grid, params, k: grid.update(
@@ -340,7 +346,7 @@ class Trainer:
         shadows = self.epoch_flags(self.epoch)[0] if shadows is None else shadows
         key = key or jax.random.PRNGKey(0)
         rays = satrays_from_tensor(jnp.asarray(sample["rays"]), jnp.asarray(sample["ts"]))
-        return render_image(self.field, self.params, rays, key, self.rcfg,
+        return render_image(self.render_field, self.params, rays, key, self.rcfg,
                             shadows=shadows, chunk=self.cfg.chunk, depth_only=depth_only)
 
     def validate(self):
