@@ -119,8 +119,9 @@ def normalize_rays_ecef(rays, scene_offset, scene_scale):
     """Scalar-scale ECEF normalization (reference `old_normalize_rays`
     :141-150): offset+scale positions, scale near/far, sun dirs untouched."""
     rays = np.asarray(rays, np.float64).copy()
-    rays[:, 0:3] = (rays[:, 0:3] - np.asarray(scene_offset)) / float(scene_scale)
-    rays[:, 6:8] = rays[:, 6:8] / float(scene_scale)
+    scale = float(np.max(np.asarray(scene_scale)))  # scalar by construction
+    rays[:, 0:3] = (rays[:, 0:3] - np.asarray(scene_offset)) / scale
+    rays[:, 6:8] = rays[:, 6:8] / scale
     return rays.astype(np.float32)
 
 
@@ -280,6 +281,42 @@ class SatelliteDataset:
             "ts": np.full((rays.shape[0],), 0, np.int32),  # reference uses id 0 in val
             "idx": i, "img_idx": self.all_ids_img[i],
         }
+
+    # ---- pixel/ray index algebra (reference :711-765) ----
+
+    def first_ray_idx_of_img(self, img_idx):
+        """Flat-ray index of pixel (0,0) of image img_idx."""
+        sizes = np.prod(self.all_img_shapes, axis=1)
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        return starts[np.asarray(img_idx)]
+
+    def ray_index_from_colrow(self, cols, rows, img_idx):
+        w = self.all_img_shapes[np.asarray(img_idx), 1]
+        return self.first_ray_idx_of_img(img_idx) + np.asarray(rows) * w + np.asarray(cols)
+
+    def colrow_from_ray_index(self, ray_idx):
+        ray_idx = np.asarray(ray_idx)
+        img_idx = self.all_ids_img[ray_idx, 0]
+        pix = ray_idx - self.first_ray_idx_of_img(img_idx)
+        w = self.all_img_shapes[img_idx, 1]
+        return pix % w, pix // w, img_idx
+
+    def patch_indices(self, idx, patch_size=0):
+        """Flat-ray indices of a (patch_size x patch_size) patch around ray
+        ``idx``, clamped at image borders (reference `get_patch_from_index`
+        :731-765; patch_size=0 returns idx itself)."""
+        if patch_size == 0:
+            return np.asarray(idx)
+        col, row, img_idx = self.colrow_from_ray_index(np.asarray([idx]))
+        col, row, img_idx = int(col[0]), int(row[0]), int(img_idx[0])
+        h, w = self.all_img_shapes[img_idx]
+        half = patch_size // 2
+        c0 = np.clip(col - half, 0, w - patch_size)
+        r0 = np.clip(row - half, 0, h - patch_size)
+        cc, rr = np.meshgrid(np.arange(c0, c0 + patch_size),
+                             np.arange(r0, r0 + patch_size))
+        return self.ray_index_from_colrow(cc.ravel(), rr.ravel(),
+                                          np.full(patch_size**2, img_idx))
 
     # ---- DSM extraction ----
 

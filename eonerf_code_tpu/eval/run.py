@@ -9,8 +9,6 @@ reload opts.json, restore the checkpointed field, and either
 - dsm=False: render every train+test view and report beta-loss + PSNR.
 """
 
-import glob
-import json
 import os
 import shutil
 
@@ -21,7 +19,6 @@ import numpy as np
 from eonerf_code_tpu.config import TrainConfig
 from eonerf_code_tpu.data.rays import satrays_from_tensor
 from eonerf_code_tpu.data.satellite import SatelliteDataset, get_file_id, read_json
-from eonerf_code_tpu.geo import RPCModel
 from eonerf_code_tpu.models.eonerf import EONerfField
 from eonerf_code_tpu.render.nadir import nadir_rays_with_sun
 from eonerf_code_tpu.render.satellite import RenderConfig, render_image
@@ -29,17 +26,7 @@ from eonerf_code_tpu.train import checkpoints as ckpt_lib
 from eonerf_code_tpu.utils import metrics as M
 
 
-def sort_views_by_incidence(root_dir):
-    """Json paths sorted by view incidence angle, most nadir first
-    (sat_utils.py:262-272)."""
-    out = []
-    for json_p in sorted(glob.glob(os.path.join(root_dir, "*.json"))):
-        d = read_json(json_p)
-        rpc = RPCModel(d["rpc"])
-        c_lon, c_lat = d["geojson"]["center"][0], d["geojson"]["center"][1]
-        zen, _ = rpc.incidence_angles(c_lon, c_lat, z=0.0)
-        out.append((zen, json_p))
-    return [p for _, p in sorted(out)]
+from eonerf_code_tpu.data.views import sort_by_increasing_view_incidence_angle as sort_views_by_incidence  # noqa: E402,E501
 
 
 def load_run(run_dir, epoch_nb=None, n_images=None):

@@ -58,6 +58,19 @@ def exit_transmittance(sigma, delta, mask=None):
     return jnp.exp(-jnp.take_along_axis(excl, last_idx[:, None], axis=-1)[:, 0])
 
 
+def ray_entropy(alphas, mask=None, eps=1e-10):
+    """InfoNeRF per-ray opacity entropy (reference: eonerf.py:56-67,
+    `entropy_from_alphas` — computed but disabled at :245-246).
+
+    p_i = alpha_i / sum(alpha); H = -sum p_i log10(p_i + eps). Returns (R,).
+    """
+    if mask is not None:
+        alphas = jnp.where(mask, alphas, 0.0)
+    total = jnp.sum(alphas, axis=-1, keepdims=True) + eps
+    probs = alphas / total
+    return -jnp.sum(probs * jnp.log10(probs + eps), axis=-1)
+
+
 def accumulate(weights, values=None):
     """Weighted reduction along samples.
 

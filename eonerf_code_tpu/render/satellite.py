@@ -47,6 +47,8 @@ class RenderConfig:
     ambient_scale: float = 0.2    # sat_rendering.py:265
     ray_span: float = 2.0         # rays sampled on [near, near + 2] (satnerf_sampling)
     inf_delta: float = 1e10
+    compute_entropy: bool = False  # InfoNeRF ray entropy (the reference
+                                   # computes then discards it; off = ones)
 
 
 def _sample_block(key, origins, viewdirs, near, n_samples, span, perturb, bound):
@@ -112,6 +114,12 @@ def render_rays(field, params, rays: SatRays, key, cfg: RenderConfig,
     shadowless_rgb = a_coef * albedo_acc + b_coef
 
     pts = jnp.sum(mask, axis=-1).astype(albedo_acc.dtype)[:, None]
+    if cfg.compute_entropy:
+        from eonerf_code_tpu.ops.volrend import ray_entropy
+
+        entropy = ray_entropy(alphas, mask)[:, None]
+    else:
+        entropy = jnp.ones_like(depth[:, None])
     return {
         "rgb": rgb,
         "depth": depth[:, None],
@@ -120,7 +128,7 @@ def render_rays(field, params, rays: SatRays, key, cfg: RenderConfig,
         "geo_shadows": geo_shadow,
         "transient_s": t_s_acc,
         "beta": beta_acc,
-        "entropy": jnp.ones_like(depth[:, None]),
+        "entropy": entropy,
         "pts_per_ray": pts,
         "sc_pts_per_ray": sc_pts,
         "opacity": opacity[:, None],
