@@ -93,7 +93,7 @@ def make_batch(n_rays, n_images=10, seed=0):
     }
 
 
-def time_batch(train_step, params, opt_state, batch_size, warmup=2, iters=10):
+def time_batch(train_step, params, opt_state, batch_size, warmup=2, iters=6):
     """Chained megasteps on device; completion forced by a host SCALAR fetch
     of the final loss (on the tunneled axon backend, block_until_ready alone
     is not a reliable completion barrier and large-array fetches are slow)."""

@@ -1,9 +1,10 @@
 """Strict geometry-recovery test (the 'flat plane + box -> DSM MAE' proof,
-SURVEY §4). Excluded from the default suite (pytest -m slow to run; ~10 min
-on CPU, ~3 min on one TPU chip). Validated config: with a step-based
-schedule (the per-epoch reference schedule collapses the lr on tiny scenes)
-the registered altitude MAE reaches < 1.5 m on a 2 m-GSD synthetic scene
-with a 20 m building."""
+SURVEY §4). Excluded from the default suite (pytest -m slow to run; ~3 min
+on one TPU chip, HOURS on CPU — prefer `scripts/run_synthetic_e2e.py` on
+device). Validated on TPU v5e: with a step-based schedule (the per-epoch
+reference schedule collapses the lr on tiny scenes) the registered altitude
+MAE reaches 0.93 m at 2000 steps on a 2 m-GSD synthetic scene with a 20 m
+building."""
 
 import numpy as np
 import pytest
