@@ -49,6 +49,9 @@ class RenderConfig:
     inf_delta: float = 1e10
     compute_entropy: bool = False  # InfoNeRF ray entropy (the reference
                                    # computes then discards it; off = ones)
+    nadir_diagnostics: bool = False  # opacity above/below the surface along
+                                     # vertical probes (sat_rendering.py:
+                                     # 146-174, disabled by default there too)
 
 
 def _sample_block(key, origins, viewdirs, near, n_samples, span, perturb, bound):
@@ -58,6 +61,23 @@ def _sample_block(key, origins, viewdirs, near, n_samples, span, perturb, bound)
     pos = origins[:, None, :] + viewdirs[:, None, :] * z_mid[..., None]
     mask = cube_mask(pos, bound)
     return pos, z_mid, delta, mask
+
+
+def _nadir_opacity_diagnostics(field, params, key, origins, cfg):
+    """Mean alpha along vertical probes from the expected surface point,
+    downward (index 0) and upward (index 1) — a density-leakage diagnostic
+    (reference `compute_nadir_rays_v2`, sat_rendering.py:146-174)."""
+    outs = []
+    for direction in (-1.0, 1.0):
+        d = jnp.zeros_like(origins).at[:, 2].set(direction)
+        pos, _, delta, mask = _sample_block(
+            key, origins, d, jnp.zeros(origins.shape[:1], origins.dtype),
+            cfg.sc_n_samples, cfg.ray_span, cfg.perturb, cfg.cube_bound)
+        sigma = field.apply(params, pos, method="density")
+        _, _, alphas = render_weights(sigma, delta, mask)
+        n = jnp.maximum(jnp.sum(mask, axis=-1), 1)
+        outs.append(jnp.sum(jnp.where(mask, alphas, 0.0), axis=-1) / n)
+    return jnp.stack(outs, axis=-1)  # (R, 2)
 
 
 def render_rays(field, params, rays: SatRays, key, cfg: RenderConfig,
@@ -113,6 +133,14 @@ def render_rays(field, params, rays: SatRays, key, cfg: RenderConfig,
     rgb = jnp.clip(a_coef * rgb + b_coef, 0.0, 1.0)
     shadowless_rgb = a_coef * albedo_acc + b_coef
 
+    if cfg.nadir_diagnostics:
+        k_nd = jax.random.fold_in(key, 2)
+        surface = o + depth[:, None] * d
+        opacity_after_surface = _nadir_opacity_diagnostics(field, params, k_nd,
+                                                           surface, cfg)
+    else:
+        opacity_after_surface = jnp.ones((o.shape[0], 2), albedo_acc.dtype)
+
     pts = jnp.sum(mask, axis=-1).astype(albedo_acc.dtype)[:, None]
     if cfg.compute_entropy:
         from eonerf_code_tpu.ops.volrend import ray_entropy
@@ -132,6 +160,7 @@ def render_rays(field, params, rays: SatRays, key, cfg: RenderConfig,
         "pts_per_ray": pts,
         "sc_pts_per_ray": sc_pts,
         "opacity": opacity[:, None],
+        "opacity_after_surface": opacity_after_surface,
         "shadowless_rgb": shadowless_rgb,
     }
 
