@@ -11,7 +11,7 @@ import os
 
 import numpy as np
 
-from eonerf_code_tpu.eval.registration import apply_shift_arrays, compute_shift_arrays, masked_stats
+from eonerf_code_tpu.eval.registration import apply_shift_arrays, compute_shift_arrays
 from eonerf_code_tpu.io.geotiff import Affine, GeoTiffFile, write_geotiff
 
 

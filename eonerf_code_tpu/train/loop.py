@@ -21,7 +21,6 @@ Multi-chip: pass `mesh` to shard the ray pool and every batch over the
 embedding tables are tiny and stay replicated.
 """
 
-import functools
 import os
 import time
 
