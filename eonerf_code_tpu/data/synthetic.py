@@ -37,6 +37,8 @@ class SyntheticSceneSpec:
     box_height: float = 20.0
     box_size: float = 70.0       # building footprint side, meters
     box_center: tuple = (20.0, -15.0)  # offset from scene center, meters
+    n_buildings: int = 1         # >1: extra random boxes (seeded), heights
+                                 # up to box_height, city-block style
     n_views: int = 8
     n_test_views: int = 2
     img_size: int = 96
@@ -58,13 +60,36 @@ class SyntheticScene:
         self.zone = latlon_to_zone_number(spec.lat0, spec.lon0)
         self.south = latitude_to_zone_letter(spec.lat0) < "N"
 
-    def height(self, easts, norths):
-        """GT heightfield h(e, n)."""
+    def _buildings(self):
+        """[(ce, cn, half_e, half_n, h)] — the primary box plus optional
+        seeded extras placed on a jittered grid."""
         s = self.spec
-        de = np.asarray(easts) - (self.e0 + s.box_center[0])
-        dn = np.asarray(norths) - (self.n0 + s.box_center[1])
-        inside = (np.abs(de) <= s.box_size / 2) & (np.abs(dn) <= s.box_size / 2)
-        return np.where(inside, s.box_height, 0.0)
+        boxes = [(self.e0 + s.box_center[0], self.n0 + s.box_center[1],
+                  s.box_size / 2, s.box_size / 2, s.box_height)]
+        if s.n_buildings > 1:
+            rng = np.random.default_rng(s.seed + 1234)
+            k = int(np.ceil(np.sqrt(s.n_buildings - 1)))
+            span = s.extent * 0.72
+            cells = [(i, j) for i in range(k) for j in range(k)]
+            rng.shuffle(cells)
+            for i, j in cells[: s.n_buildings - 1]:
+                ce = self.e0 - span / 2 + (i + 0.5) * span / k + rng.uniform(-5, 5)
+                cn = self.n0 - span / 2 + (j + 0.5) * span / k + rng.uniform(-5, 5)
+                he = rng.uniform(8, max(span / k / 2 - 6, 9))
+                hn = rng.uniform(8, max(span / k / 2 - 6, 9))
+                h = rng.uniform(0.3, 1.0) * s.box_height
+                boxes.append((ce, cn, he, hn, h))
+        return boxes
+
+    def height(self, easts, norths):
+        """GT heightfield h(e, n): max over the building boxes."""
+        e = np.asarray(easts)
+        n = np.asarray(norths)
+        out = np.zeros(np.broadcast(e, n).shape)
+        for ce, cn, he, hn, h in self._buildings():
+            inside = (np.abs(e - ce) <= he) & (np.abs(n - cn) <= hn)
+            out = np.maximum(out, np.where(inside, h, 0.0))
+        return out
 
     def albedo(self, easts, norths):
         """(N, 3) surface albedo: checkerboard ground, gray roof, both
@@ -100,34 +125,49 @@ class SyntheticScene:
         far = np.linalg.norm(d, axis=1)  # d is unit: use explicit far instead
         raise NotImplementedError  # replaced by march() below
 
-    def march(self, o, d, fars, n_steps=3000):
-        """Vectorized first-hit march. o (N,3), d unit (N,3), fars (N,)."""
-        ts = np.linspace(0.0, 1.0, n_steps)[None, :] * fars[:, None]  # (N, S)
-        pts = o[:, None, :] + d[:, None, :] * ts[..., None]           # (N, S, 3)
-        below = pts[..., 2] < self.height(pts[..., 0], pts[..., 1])
-        first = np.argmax(below, axis=1)                              # 0 if none
-        any_hit = below.any(axis=1)
-        idx = np.clip(first, 1, n_steps - 1)
-        # refine: midpoint between last-above and first-below samples
-        t_hit = 0.5 * (np.take_along_axis(ts, idx[:, None], 1)[:, 0]
-                       + np.take_along_axis(ts, np.maximum(idx - 1, 0)[:, None], 1)[:, 0])
-        t_hit = np.where(any_hit, t_hit, fars)
-        hit = o + d * t_hit[:, None]
+    def march(self, o, d, fars, n_steps=3000, block=16384):
+        """Vectorized first-hit march, processed in ray blocks to bound the
+        (block, n_steps, 3) working set. o (N,3), d unit (N,3), fars (N,)."""
+        n = o.shape[0]
+        t_hit = np.empty(n)
+        hit = np.empty((n, 3))
+        any_hit = np.empty(n, dtype=bool)
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            ts = np.linspace(0.0, 1.0, n_steps)[None, :] * fars[s:e, None]
+            pts = o[s:e, None, :] + d[s:e, None, :] * ts[..., None]
+            below = pts[..., 2] < self.height(pts[..., 0], pts[..., 1])
+            first = np.argmax(below, axis=1)  # 0 if none
+            ah = below.any(axis=1)
+            idx = np.clip(first, 1, n_steps - 1)
+            # refine: midpoint between last-above and first-below samples
+            th = 0.5 * (np.take_along_axis(ts, idx[:, None], 1)[:, 0]
+                        + np.take_along_axis(ts, np.maximum(idx - 1, 0)[:, None], 1)[:, 0])
+            th = np.where(ah, th, fars[s:e])
+            t_hit[s:e] = th
+            hit[s:e] = o[s:e] + d[s:e] * th[:, None]
+            any_hit[s:e] = ah
         return t_hit, hit, any_hit
 
-    def sun_visibility(self, pts, sun_dir_to_ground, n_steps=800, eps=0.15):
+    def sun_visibility(self, pts, sun_dir_to_ground, n_steps=800, eps=0.15,
+                       block=16384):
         """1 where the sun is visible from pts, 0 in cast shadow.
 
         ``sun_dir_to_ground`` points from the sun toward the ground; the
-        occlusion ray direction is its negation.
+        occlusion ray direction is its negation. Block-processed like march().
         """
         d = -np.asarray(sun_dir_to_ground)
         d = d / np.linalg.norm(d)
         span = (self.spec.max_alt - pts[:, 2].min() + 5.0) / max(d[2], 1e-3)
         ts = np.linspace(eps, 1.0, n_steps)[None, :] * span
-        sample = pts[:, None, :] + d[None, None, :] * ts[..., None]
-        occluded = (sample[..., 2] < self.height(sample[..., 0], sample[..., 1]) - 1e-6).any(1)
-        return np.where(occluded, 0.0, 1.0)
+        n = pts.shape[0]
+        vis = np.empty(n)
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            sample = pts[s:e, None, :] + d[None, None, :] * ts[..., None]
+            occ = (sample[..., 2] < self.height(sample[..., 0], sample[..., 1]) - 1e-6).any(1)
+            vis[s:e] = np.where(occ, 0.0, 1.0)
+        return vis
 
 
 def _orthographic_projection(scene, view_az_deg, view_el_deg, gsd, img_size):

@@ -1,0 +1,48 @@
+"""CLI surface: reference flag names map onto TrainConfig; dead reference
+flags are tolerated with a warning instead of crashing."""
+
+import numpy as np
+
+from eonerf_code_tpu.cli import build_parser, config_from_args
+
+
+class TestCLI:
+    def test_reference_flag_names(self):
+        cfg = config_from_args([
+            "--root_dir", "/data/root", "--img_dir", "/data/img",
+            "--gt_dir", "/data/gt", "--exp_name", "run1",
+            "--model", "eo-nerf", "--img_downscale", "2",
+            "--max_train_steps", "300000", "--fc_units", "256",
+            "--fc_layers", "8", "--n_samples", "128", "--batch_size", "1024",
+            "--geometric_shadows", "--radiometric_normalization",
+        ])
+        assert cfg.root_dir == "/data/root"
+        assert cfg.net_width == 256 and cfg.net_depth == 8
+        assert cfg.max_train_steps == 300000
+        assert cfg.radiometric_normalization  # also forced by model == eo-nerf
+        assert cfg.geometric_shadows
+
+    def test_dead_reference_flags_tolerated(self, capsys):
+        cfg = config_from_args([
+            "--root_dir", "/r", "--n_importance", "64", "--sc_lambda", "0.1",
+        ])
+        assert cfg.root_dir == "/r"
+        err = capsys.readouterr().err
+        assert "ignoring flag" in err
+
+    def test_subset_flag_maps(self):
+        cfg = config_from_args(["--root_dir", "/r", "--subset_Nviews", "9"])
+        assert cfg.subset_n_views == 9
+
+    def test_resume_flag(self):
+        cfg = config_from_args(["--root_dir", "/r", "--ckpt_path", "/ck/epoch=3"])
+        assert cfg.ckpt_path == "/ck/epoch=3"
+
+    def test_config_json_roundtrip(self, tmp_path):
+        from eonerf_code_tpu.config import TrainConfig
+
+        cfg = config_from_args(["--root_dir", "/r", "--batch_size", "2048"])
+        p = str(tmp_path / "opts.json")
+        cfg.save(p)
+        cfg2 = TrainConfig.load(p)
+        assert cfg2.batch_size == 2048 and cfg2.root_dir == "/r"
