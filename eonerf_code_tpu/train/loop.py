@@ -175,7 +175,15 @@ class Trainer:
                 data["conf_prior"] = self.train_ds.prior_confs
         if self.train_ds.prior_shadows is not None:
             data["shadow_prior"] = self.train_ds.prior_shadows
-        self.device_data = {k: jnp.asarray(v) for k, v in data.items()}
+        if mesh is not None:
+            # multi-chip: ray pool sharded over the "data" axis; gathers of a
+            # replicated index vector produce data-sharded batches and GSPMD
+            # inserts the gradient psum over ICI
+            from eonerf_code_tpu.parallel.mesh import shard_batch
+
+            self.device_data = shard_batch(mesh, data)
+        else:
+            self.device_data = {k: jnp.asarray(v) for k, v in data.items()}
 
         # ---- model / optimizer ----
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -191,6 +199,12 @@ class Trainer:
             method="init_all")
         self.optimizer = make_optimizer(cfg, self.steps_per_epoch)
         self.opt_state = self.optimizer.init(self.params)
+        if mesh is not None:
+            from eonerf_code_tpu.parallel.mesh import replicate
+
+            rep = replicate(mesh)
+            self.params = jax.device_put(self.params, rep)
+            self.opt_state = jax.device_put(self.opt_state, rep)
 
         self.occ_grid = OccupancyGrid.create(cfg.n_grid) if cfg.occ_enabled else None
         self.render_step_size = 2.0 / cfg.n_samples
