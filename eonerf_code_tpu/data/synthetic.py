@@ -125,49 +125,56 @@ class SyntheticScene:
         far = np.linalg.norm(d, axis=1)  # d is unit: use explicit far instead
         raise NotImplementedError  # replaced by march() below
 
-    def march(self, o, d, fars, n_steps=3000, block=16384):
-        """Vectorized first-hit march, processed in ray blocks to bound the
-        (block, n_steps, 3) working set. o (N,3), d unit (N,3), fars (N,)."""
-        n = o.shape[0]
-        t_hit = np.empty(n)
-        hit = np.empty((n, 3))
-        any_hit = np.empty(n, dtype=bool)
-        for s in range(0, n, block):
-            e = min(s + block, n)
-            ts = np.linspace(0.0, 1.0, n_steps)[None, :] * fars[s:e, None]
-            pts = o[s:e, None, :] + d[s:e, None, :] * ts[..., None]
-            below = pts[..., 2] < self.height(pts[..., 0], pts[..., 1])
-            first = np.argmax(below, axis=1)  # 0 if none
-            ah = below.any(axis=1)
-            idx = np.clip(first, 1, n_steps - 1)
-            # refine: midpoint between last-above and first-below samples
-            th = 0.5 * (np.take_along_axis(ts, idx[:, None], 1)[:, 0]
-                        + np.take_along_axis(ts, np.maximum(idx - 1, 0)[:, None], 1)[:, 0])
-            th = np.where(ah, th, fars[s:e])
-            t_hit[s:e] = th
-            hit[s:e] = o[s:e] + d[s:e] * th[:, None]
-            any_hit[s:e] = ah
+    def _box_entry_t(self, o, d, t_min=0.0):
+        """Smallest positive entry t of each ray into any building box
+        (exact AABB slab tests, vectorized over rays). Returns +inf where
+        no box is hit."""
+        best = np.full(o.shape[0], np.inf)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = np.where(np.abs(d) > 1e-12, 1.0 / d, np.inf)
+            for ce, cn, he, hn, h in self._buildings():
+                lo = np.array([ce - he, cn - hn, 0.0])
+                hi = np.array([ce + he, cn + hn, h])
+                t1 = (lo - o) * inv
+                t2 = (hi - o) * inv
+                tmin = np.minimum(t1, t2).max(axis=1)
+                tmax = np.maximum(t1, t2).min(axis=1)
+                entry = np.maximum(tmin, t_min)
+                hit = (tmax >= entry) & (tmax > t_min)
+                best = np.where(hit, np.minimum(best, entry), best)
+        return best
+
+    def march(self, o, d, fars, **_legacy):
+        """Exact first-hit of each ray against the box-city + ground plane.
+
+        (Named `march` for historical reasons — the implementation is an
+        analytic AABB/plane intersection, not a sampler: exact and ~1000x
+        faster than stepping.) o (N,3), d unit (N,3), fars (N,).
+        Returns (t_hit, hit_xyz, any_hit)."""
+        o = np.asarray(o, np.float64)
+        d = np.asarray(d, np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t_ground = np.where(d[:, 2] < -1e-12, -o[:, 2] / d[:, 2], np.inf)
+        t_box = self._box_entry_t(o, d)
+        t_hit = np.minimum(t_ground, t_box)
+        any_hit = np.isfinite(t_hit)
+        t_hit = np.where(any_hit, t_hit, fars)
+        hit = o + d * t_hit[:, None]
         return t_hit, hit, any_hit
 
-    def sun_visibility(self, pts, sun_dir_to_ground, n_steps=800, eps=0.15,
-                       block=16384):
+    def sun_visibility(self, pts, sun_dir_to_ground, eps=0.2, **_legacy):
         """1 where the sun is visible from pts, 0 in cast shadow.
 
         ``sun_dir_to_ground`` points from the sun toward the ground; the
-        occlusion ray direction is its negation. Block-processed like march().
-        """
-        d = -np.asarray(sun_dir_to_ground)
+        occlusion ray is its negation. Exact: occluded iff the ray toward
+        the sun enters any building box (entry offset ``eps`` meters along
+        the ray avoids self-intersection for points ON a wall/roof)."""
+        d = -np.asarray(sun_dir_to_ground, np.float64)
         d = d / np.linalg.norm(d)
-        span = (self.spec.max_alt - pts[:, 2].min() + 5.0) / max(d[2], 1e-3)
-        ts = np.linspace(eps, 1.0, n_steps)[None, :] * span
-        n = pts.shape[0]
-        vis = np.empty(n)
-        for s in range(0, n, block):
-            e = min(s + block, n)
-            sample = pts[s:e, None, :] + d[None, None, :] * ts[..., None]
-            occ = (sample[..., 2] < self.height(sample[..., 0], sample[..., 1]) - 1e-6).any(1)
-            vis[s:e] = np.where(occ, 0.0, 1.0)
-        return vis
+        o = np.asarray(pts, np.float64) + eps * d
+        dirs = np.broadcast_to(d, o.shape)
+        t_box = self._box_entry_t(o, dirs, t_min=1e-9)
+        return np.where(np.isfinite(t_box), 0.0, 1.0)
 
 
 def _orthographic_projection(scene, view_az_deg, view_el_deg, gsd, img_size):
