@@ -93,6 +93,13 @@ def dsm_pointwise_diff(in_dsm_path, gt_dsm_path, dsm_metadata, gt_mask_path=None
     return err
 
 
+def dsm_mae(in_dsm_path, gt_dsm_path, dsm_metadata, gt_mask_path=None):
+    """Mean |altitude error| without writing any outputs (sat_utils.py:258)."""
+    err = dsm_pointwise_diff(in_dsm_path, gt_dsm_path, dsm_metadata,
+                             gt_mask_path=gt_mask_path)
+    return float(np.nanmean(np.abs(err.ravel())))
+
+
 def compute_mae_and_save_dsm_diff(pred_dsm_path, src_id, gt_dir, out_dir,
                                   epoch_number, aoi_id, save=True):
     """Resolve the per-AOI GT rasters and return mean |altitude error|
