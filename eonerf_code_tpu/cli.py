@@ -54,9 +54,17 @@ def build_parser():
 
 def config_from_args(argv=None):
     args, unknown = build_parser().parse_known_args(argv)
-    for u in unknown:
-        print(f"warning: ignoring flag {u} (dead in the reference, not implemented)",
+    # group "--flag value" pairs so each dead flag warns once
+    i = 0
+    while i < len(unknown):
+        tok = unknown[i]
+        val = ""
+        if tok.startswith("--") and i + 1 < len(unknown) and not unknown[i + 1].startswith("--"):
+            val = " " + unknown[i + 1]
+            i += 1
+        print(f"warning: ignoring flag {tok}{val} (dead in the reference, not implemented)",
               file=sys.stderr)
+        i += 1
     d = vars(args)
     known = {f.name for f in __import__("dataclasses").fields(TrainConfig)}
     return TrainConfig(**{k: v for k, v in d.items() if k in known})

@@ -31,7 +31,12 @@ from eonerf_code_tpu.data.views import sort_by_increasing_view_incidence_angle a
 
 def load_run(run_dir, epoch_nb=None, n_images=None):
     """Restore (cfg, field, params) from a training run directory."""
-    cfg = TrainConfig.load(os.path.join(run_dir, "opts.json"))
+    opts_path = os.path.join(run_dir, "opts.json")
+    if not os.path.exists(opts_path):
+        raise SystemExit(
+            f"error: no training run at '{run_dir}' (missing {opts_path}); "
+            "check the run id and --logs_dir")
+    cfg = TrainConfig.load(opts_path)
     if epoch_nb is not None:
         path = os.path.join(run_dir, "ckpts", f"epoch={epoch_nb}")
     else:

@@ -372,9 +372,19 @@ class Trainer:
             rgbs = jnp.asarray(sample["rgbs"])
             loss, ld = M.uncertainty_aware_loss(rgbs, out["rgb"], out["beta"])
             psnr_ = M.psnr(out["rgb"], rgbs)
-            if i == 0:
+            if i <= 1:
+                # reference-style gt/pred/albedo/shadows/depth panel
+                # (train_eonerf.py:235-249)
+                from eonerf_code_tpu.utils.viz import visualize_depth
+
                 h, w = sample["h"], sample["w"]
-                self.logger.image("train_0/pred", np.asarray(out["rgb"]).reshape(h, w, 3), self.step)
+                panel = [np.asarray(sample["rgbs"]).reshape(h, w, 3),
+                         np.asarray(out["rgb"]).reshape(h, w, 3),
+                         np.asarray(out["albedo_rgb"]).reshape(h, w, 3),
+                         np.asarray(out["geo_shadows"]).reshape(h, w),
+                         visualize_depth(np.asarray(out["depth"]).reshape(h, w))]
+                tag = "train_0/gt_pred_depth" if i == 0 else "val_0/gt_pred_depth"
+                self.logger.image_panel(tag, panel, self.step)
             if i > 0 and cfg.gt_dir is not None:
                 try:
                     mae = self._val_mae(sample, out)

@@ -40,6 +40,23 @@ class MetricsLogger:
                 img = img[:, :, None]
             self._tb.add_image(tag, img.transpose(2, 0, 1), int(step))
 
+    def image_panel(self, tag, images, step):
+        """Log a horizontal panel of same-height images (the reference's
+        gt/pred/albedo/shadows/depth strips, utils.py:128-144)."""
+        import numpy as np
+
+        imgs = []
+        for im in images:
+            a = np.asarray(im, np.float32)
+            if a.ndim == 2:
+                a = a[:, :, None]
+            if a.shape[2] == 1:
+                a = np.repeat(a, 3, axis=2)
+            imgs.append(np.clip(a, 0, 1))
+        h = min(a.shape[0] for a in imgs)
+        panel = np.concatenate([a[:h] for a in imgs], axis=1)
+        self.image(tag, panel, step)
+
     def flush(self):
         self._jsonl.flush()
         if self._tb is not None:
