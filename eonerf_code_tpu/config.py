@@ -73,6 +73,9 @@ class TrainConfig:
     depth_weight: float = 100.0
     depth_weight_decay: float = 0.8      # per epoch
 
+    # evaluation
+    device_eval: bool = False            # compute the registered DSM MAE on
+                                         # device (no host round trips)
     # eval cadence (None -> reference rule: steps per epoch / 4x)
     val_freq: Optional[int] = None
     save_freq: Optional[int] = None

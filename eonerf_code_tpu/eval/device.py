@@ -1,0 +1,138 @@
+"""Device-side DSM evaluation: rasterization + NCC registration + MAE as
+one jit program.
+
+BASELINE.json's north star asks that "DSM extraction and altitude metrics
+port to device-side rendering sweeps so evaluation never leaves the TPU".
+The host pipeline (eval/dsm.py) remains the GeoTIFF-facing reference; this
+module evaluates a predicted depth map against a GT height grid entirely in
+jax — rasterize (segment-mean splat), NaN-free masked NCC over a shift
+search with a fixed 2x pyramid, z-bias fit, clip, masked MAE — so per-epoch
+validation costs no host round trips.
+
+Precision: everything runs in LOCAL scene coordinates (UTM minus the scene
+offset), where float32 resolution is ~1e-5 m; absolute UTM magnitudes would
+cost ~3 cm in f32. Semantics mirror eval/registration.py (same pyramid rule,
+same y-major-first tie-break via lexicographic argmax, scaling=False).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from eonerf_code_tpu.ops.raster import rasterize_pointcloud_jax
+
+
+def _masked_downsample2x(img, mask):
+    """NaN-free 2x block mean with validity mask. (H, W) -> (H//2, W//2)."""
+    h, w = img.shape
+    h2, w2 = h // 2, w // 2
+    img = img[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2)
+    mask = mask[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2)
+    s = jnp.sum(jnp.where(mask, img, 0.0), axis=(1, 3))
+    n = jnp.sum(mask, axis=(1, 3))
+    return jnp.where(n > 0, s / jnp.maximum(n, 1), 0.0), n > 0
+
+
+def _ncc_at_shift(u, um, v, vm, dx, dy):
+    """Masked NCC of u[j,i] vs v[j+dy, i+dx] (the registration convention).
+    v is pre-padded by `pad`; dx/dy are offsets into the padded array."""
+    h, w = u.shape
+    vv = jax.lax.dynamic_slice(v, (dy, dx), (h, w))
+    vvm = jax.lax.dynamic_slice(vm, (dy, dx), (h, w))
+    m = um & vvm
+    n = jnp.maximum(jnp.sum(m), 1)
+    mu = jnp.sum(jnp.where(m, u, 0.0)) / n
+    mv = jnp.sum(jnp.where(m, vv, 0.0)) / n
+    du = jnp.where(m, u - mu, 0.0)
+    dv = jnp.where(m, vv - mv, 0.0)
+    sigu = jnp.sqrt(jnp.sum(du * du) / n)
+    sigv = jnp.sqrt(jnp.sum(dv * dv) / n)
+    xc = jnp.sum(du * dv) / n
+    denom = sigu * sigv
+    return jnp.where((denom > 0) & (jnp.sum(m) > 0), xc / denom, -jnp.inf)
+
+
+def _search_level(u, um, v, vm, init_dx, init_dy, irange=5, pad=32):
+    """Exhaustive +-irange search around (init_dx, init_dy); first max wins
+    scanning y-major (the reference tie-break). ``pad`` must bound
+    |init| + irange (grows with pyramid depth)."""
+    vp = jnp.pad(v, pad)
+    vpm = jnp.pad(vm, pad)
+    span = 2 * irange + 1
+    offs = jnp.arange(-irange, irange + 1)
+
+    def score(k):
+        dy = offs[k // span]
+        dx = offs[k % span]
+        return _ncc_at_shift(u, um, vp, vpm,
+                             pad + init_dx + dx, pad + init_dy + dy)
+
+    scores = jax.vmap(score)(jnp.arange(span * span))
+    best = jnp.argmax(scores)  # argmax returns the FIRST max: y-major order
+    return init_dx + offs[best % span], init_dy + offs[best // span]
+
+
+def device_dsm_mae(pred_dsm, gt_dsm, irange=5, n_levels=None, clip_slack=10.0):
+    """Registered mean |altitude error| of pred vs gt height grids, on
+    device. Grids are (H, W) float32 with NaN for empty cells (same grid!).
+    Returns (mae, (dx, dy, bias)). Jit-compatible (shapes static)."""
+    pred = jnp.asarray(pred_dsm, jnp.float32)
+    gt = jnp.asarray(gt_dsm, jnp.float32)
+    pm = jnp.isfinite(pred)
+    gm = jnp.isfinite(gt)
+    pred = jnp.where(pm, pred, 0.0)
+    gt = jnp.where(gm, gt, 0.0)
+
+    # fixed pyramid: halve while min dim > 100 (dsmr.py:120-135)
+    if n_levels is None:
+        n_levels = 0
+        m = min(gt.shape)
+        while m > 100:
+            n_levels += 1
+            m //= 2
+
+    levels = [(gt, gm, pred, pm)]
+    for _ in range(n_levels):
+        g, gmk, p, pmk = levels[-1]
+        g2, gm2 = _masked_downsample2x(g, gmk)
+        p2, pm2 = _masked_downsample2x(p, pmk)
+        levels.append((g2, gm2, p2, pm2))
+
+    # coarsest -> finest: search, then double the shift into the next finer
+    # level (no doubling after the finest) — dsmr.py:120-135 semantics
+    dx = jnp.asarray(0, jnp.int32)
+    dy = jnp.asarray(0, jnp.int32)
+    max_shift = irange * (2 ** (n_levels + 1))
+    for li in range(len(levels) - 1, -1, -1):
+        g, gmk, p, pmk = levels[li]
+        dx, dy = _search_level(g, gmk, p, pmk, dx, dy, irange,
+                               pad=max_shift + irange + 2)
+        if li > 0:
+            dx, dy = dx * 2, dy * 2
+
+    # z bias (scaling=False): b = mean(gt) - mean(pred at shift)
+    pad = irange * (2 ** (n_levels + 1)) + 32
+    pp = jnp.pad(pred, pad)
+    ppm = jnp.pad(pm, pad)
+    h, w = gt.shape
+    vv = jax.lax.dynamic_slice(pp, (pad + dy, pad + dx), (h, w))
+    vvm = jax.lax.dynamic_slice(ppm, (pad + dy, pad + dx), (h, w))
+    m = gm & vvm
+    n = jnp.maximum(jnp.sum(m), 1)
+    bias = (jnp.sum(jnp.where(m, gt, 0.0)) - jnp.sum(jnp.where(m, vv, 0.0))) / n
+
+    gmax = jnp.max(jnp.where(gm, gt, -jnp.inf))
+    gmin = jnp.min(jnp.where(gm, gt, jnp.inf))
+    reg = jnp.clip(vv + bias, gmin - clip_slack, gmax + clip_slack)
+    err = jnp.where(m, jnp.abs(reg - gt), 0.0)
+    mae = jnp.sum(err) / n
+    return mae, (dx, dy, bias)
+
+
+@functools.partial(jax.jit, static_argnames=("xsize", "ysize", "radius"))
+def rasterize_local(easts_l, norths_l, alts, xoff_l, yoff_l, resolution,
+                    xsize, ysize, radius=1):
+    """Device rasterization in the local frame (thin jit wrapper)."""
+    return rasterize_pointcloud_jax(easts_l, norths_l, alts, xoff_l, yoff_l,
+                                    resolution, xsize, ysize, radius=radius)

@@ -399,7 +399,61 @@ class Trainer:
                 self.logger.scalar(f"val/{k}", float(np.mean(v)), self.step)
         self.logger.flush()
 
+    def _gt_grid_local(self):
+        """GT DSM as a device array over its ROI grid in LOCAL scene coords
+        (water-masked), cached. Returns (gt (H,W), xoff_l, yoff_top_l, res)."""
+        if getattr(self, "_gt_grid", None) is not None:
+            return self._gt_grid
+        import numpy as np
+
+        from eonerf_code_tpu.io.geotiff import GeoTiffFile
+
+        cfg = self.cfg
+        aoi = cfg.aoi_id
+        gt_path = os.path.join(cfg.gt_dir, f"{aoi}_DSM.tif")
+        f = GeoTiffFile(gt_path)
+        gt = f.read(1).astype(np.float32)
+        if f.nodata is not None and not np.isnan(f.nodata):
+            gt = np.where(gt == f.nodata, np.nan, gt)
+        cls_path = os.path.join(cfg.gt_dir, f"{aoi}_CLS.tif")
+        if os.path.exists(cls_path):
+            from eonerf_code_tpu.eval.dsm import _load_water_mask
+
+            water = _load_water_mask(cls_path)
+            h_ = min(water.shape[0], gt.shape[0])
+            w_ = min(water.shape[1], gt.shape[1])
+            gt[:h_, :w_] = np.where(water[:h_, :w_], np.nan, gt[:h_, :w_])
+        off = self.train_ds.scene.scene_offset
+        self._gt_grid = (jnp.asarray(gt),
+                         float(f.bounds.left - off[0]),
+                         float(f.bounds.top - off[1]),
+                         float(f.res[0]))
+        return self._gt_grid
+
+    def val_mae_device(self, sample, out):
+        """Registered DSM MAE fully on device: denormalize depth in the
+        local frame, splat onto the GT grid, register + MAE in one jit
+        (eval/device.py). No GeoTIFFs, no host round trips."""
+        from eonerf_code_tpu.eval.device import device_dsm_mae, rasterize_local
+
+        gt, xoff_l, ytop_l, res = self._gt_grid_local()
+        rays = jnp.asarray(sample["rays"], jnp.float32)
+        depth = jnp.asarray(out["depth"], jnp.float32).reshape(-1, 1)
+        scale = jnp.asarray(self.train_ds.scene.scene_scale, jnp.float32)
+        off_z = float(self.train_ds.scene.scene_offset[2])
+        xyz_l = (rays[:, 0:3] + rays[:, 3:6] * depth) * scale  # local meters
+        alts = xyz_l[:, 2] + off_z
+        pred = rasterize_local(xyz_l[:, 0], xyz_l[:, 1], alts,
+                               xoff_l, ytop_l, res, gt.shape[1], gt.shape[0])
+        mae, _ = device_dsm_mae(pred, gt)
+        return float(mae)
+
     def _val_mae(self, sample, out):
+        if self.cfg.device_eval:
+            return self.val_mae_device(sample, out)
+        return self._val_mae_host(sample, out)
+
+    def _val_mae_host(self, sample, out):
         from eonerf_code_tpu.eval.dsm import compute_mae_and_save_dsm_diff
 
         cfg = self.cfg
