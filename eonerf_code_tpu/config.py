@@ -65,6 +65,9 @@ class TrainConfig:
     n_grid: int = 128
     occ_update_every: int = 50
     occ_enabled: bool = True
+    occ_max_cells: Optional[int] = 262144  # cells probed per update (None =
+                                           # all; full 128^3 costs ~16 train
+                                           # steps of density queries)
 
     # priors
     init_dsm_path: Optional[str] = None

@@ -38,19 +38,29 @@ class OccupancyGrid:
     def cell_size(self):
         return (self.aabb_max - self.aabb_min) / self.resolution
 
-    def update(self, density_fn, key, render_step_size, ema_decay=0.95, occ_thre=1e-2):
+    def update(self, density_fn, key, render_step_size, ema_decay=0.95,
+               occ_thre=1e-2, max_cells=None):
         """One occupancy update (nerfacc semantics: EMA-max + mean-clamped
         threshold). ``density_fn`` maps (N, 3) -> (N,) sigma.
+
+        ``max_cells`` (static) probes a random cell subset per update —
+        nerfacc's post-warmup behavior; the full grid costs res^3 density
+        queries (2.1M at 128^3), which dwarfs a training step.
         """
         res = self.resolution
         n = res**3
-        idx = jnp.arange(n)
+        kc, ku = jax.random.split(key)
+        if max_cells is not None and max_cells < n:
+            idx = jax.random.randint(kc, (max_cells,), 0, n)
+        else:
+            idx = jnp.arange(n)
         ijk = jnp.stack([idx // (res * res), (idx // res) % res, idx % res], axis=-1)
-        u = jax.random.uniform(key, (n, 3), dtype=jnp.float32)
+        u = jax.random.uniform(ku, (idx.shape[0], 3), dtype=jnp.float32)
         cs = self.cell_size()
         xyz = self.aabb_min + (ijk.astype(jnp.float32) + u) * cs
         occ = density_fn(xyz) * render_step_size  # opacity ~ sigma * step (eonerf.py:147-152)
-        occs = jnp.maximum(self.occs * ema_decay, occ)
+        new_vals = jnp.maximum(self.occs[idx] * ema_decay, occ)
+        occs = self.occs.at[idx].set(new_vals)
         thre = jnp.minimum(jnp.mean(occs), occ_thre)
         binaries = (occs > thre).reshape(res, res, res)
         return self.replace(occs=occs, binaries=binaries)

@@ -227,7 +227,8 @@ class Trainer:
         self._occ_update = jax.jit(
             lambda grid, params, k: grid.update(
                 lambda x: self.field.apply(params, x, method="density"),
-                k, self.render_step_size)) if self.occ_grid is not None else None
+                k, self.render_step_size,
+                max_cells=cfg.occ_max_cells)) if self.occ_grid is not None else None
 
         self.step = 0
         self.epoch = 0

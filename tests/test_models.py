@@ -108,3 +108,22 @@ class TestOccupancyGrid:
         grid = OccupancyGrid.create(resolution=8)
         leaves = jax.tree_util.tree_leaves(grid)
         assert len(leaves) == 2
+
+
+class TestOccupancyPartialUpdate:
+    def test_subset_update_scatters(self):
+        import jax
+        import jax.numpy as jnp
+
+        grid = OccupancyGrid.create(resolution=16)
+
+        def density_fn(xyz):
+            return jnp.full(xyz.shape[:-1], 100.0)
+
+        g1 = grid.update(density_fn, jax.random.PRNGKey(0), 2 / 128, max_cells=256)
+        # only a subset got the occupancy bump
+        touched = int((g1.occs > 0).sum())
+        assert 0 < touched <= 256
+        # repeated updates keep growing coverage
+        g2 = g1.update(density_fn, jax.random.PRNGKey(1), 2 / 128, max_cells=256)
+        assert int((g2.occs > 0).sum()) >= touched
