@@ -11,8 +11,8 @@ import sys
 
 from eonerf_code_tpu.config import TrainConfig
 
-IGNORED_FLAGS = ["n_importance", "noise_std", "sc_lambda", "ds_lambda", "ds_drop",
-                 "t_embbeding_tau", "t_embbeding_vocab", "fc_units_ignored"]
+IGNORED_FLAGS = ["noise_std", "sc_lambda", "ds_lambda", "ds_drop",
+                 "t_embbeding_tau", "t_embbeding_vocab"]
 
 
 def build_parser():
@@ -35,6 +35,8 @@ def build_parser():
     p.add_argument("--fc_units", type=int, default=256, dest="net_width")
     p.add_argument("--fc_layers", type=int, default=8, dest="net_depth")
     p.add_argument("--n_samples", type=int, default=128)
+    p.add_argument("--n_importance", type=int, default=0,
+                   help="hierarchical fine samples (dead in the reference; real here)")
     p.add_argument("--chunk", type=int, default=1024)
     p.add_argument("--geometric_shadows", action="store_true", default=True)
     p.add_argument("--no_geometric_shadows", dest="geometric_shadows", action="store_false")

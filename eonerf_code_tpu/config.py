@@ -44,6 +44,8 @@ class TrainConfig:
     batch_size: int = 1024
     max_train_steps: int = 300000
     n_samples: int = 128
+    n_importance: int = 0                # hierarchical fine samples (dead in
+                                         # the reference; implemented here)
     net_depth: int = 8                   # trunk depth (eonerf.py:73)
     net_width: int = 256                 # trunk width (eonerf.py:74)
     steps_per_call: int = 25             # train steps scanned inside one jit

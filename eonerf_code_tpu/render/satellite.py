@@ -30,6 +30,7 @@ from eonerf_code_tpu.data.rays import SatRays
 from eonerf_code_tpu.ops.sampling import (
     cube_mask,
     intervals_from_z,
+    sample_pdf,
     set_last_valid,
     stratified_z_vals,
 )
@@ -42,6 +43,9 @@ class RenderConfig:
 
     n_samples: int = 128          # z values per camera ray (intervals = n-1)
     sc_n_samples: int = 128       # z values per shadow ray
+    n_importance: int = 0         # hierarchical fine samples from the coarse
+                                  # weight PDF (the reference's dead
+                                  # --n_importance, implemented for real)
     perturb: bool = True          # reference quirk: perturbed in train AND eval
     cube_bound: float = 1.0
     ambient_scale: float = 0.2    # sat_rendering.py:265
@@ -87,15 +91,30 @@ def render_rays(field, params, rays: SatRays, key, cfg: RenderConfig,
     Returns a dict of per-ray outputs matching the reference's result keys
     (sat_rendering.py:322-334).
     """
-    k_cam, k_sc = jax.random.split(key)
+    k_cam, k_sc, k_fine = jax.random.split(key, 3)
     o, d, sun_d = rays.origins, rays.viewdirs, rays.sundirs
     if getattr(field, "rpc_correction", False):
         o = o + field.apply(params, rays.img_idx, method="ray_offset")
     near = rays.t_near
 
     # ---- camera pass ----
-    pos, z_mid, delta, mask = _sample_block(
-        k_cam, o, d, near, cfg.n_samples, cfg.ray_span, cfg.perturb, cfg.cube_bound)
+    z_vals = stratified_z_vals(k_cam, near, near + cfg.ray_span, cfg.n_samples,
+                               perturb=cfg.perturb)
+    if cfg.n_importance > 0:
+        # coarse sigma-only pass -> weight PDF -> fine samples (hierarchical)
+        t0_, t1_, zc_mid, c_delta = intervals_from_z(z_vals)
+        c_pos = o[:, None, :] + d[:, None, :] * zc_mid[..., None]
+        c_mask = cube_mask(c_pos, cfg.cube_bound)
+        c_sigma = field.apply(params, c_pos, method="density")
+        c_w, _, _ = render_weights(c_sigma, set_last_valid(c_delta, c_mask, cfg.inf_delta),
+                                   c_mask)
+        z_fine = sample_pdf(k_fine, z_vals, c_w, cfg.n_importance,
+                            perturb=cfg.perturb)
+        z_vals = jnp.sort(jnp.concatenate(
+            [z_vals, jax.lax.stop_gradient(z_fine)], axis=-1), axis=-1)
+    _, _, z_mid, delta = intervals_from_z(z_vals)
+    pos = o[:, None, :] + d[:, None, :] * z_mid[..., None]
+    mask = cube_mask(pos, cfg.cube_bound)
     if occ_grid is not None:
         mask = mask & occ_grid.query(pos)
     delta_cam = set_last_valid(delta, mask, cfg.inf_delta)

@@ -208,7 +208,8 @@ class Trainer:
 
         self.occ_grid = OccupancyGrid.create(cfg.n_grid) if cfg.occ_enabled else None
         self.render_step_size = 2.0 / cfg.n_samples
-        self.rcfg = RenderConfig(n_samples=cfg.n_samples, sc_n_samples=cfg.n_samples)
+        self.rcfg = RenderConfig(n_samples=cfg.n_samples, sc_n_samples=cfg.n_samples,
+                                 n_importance=cfg.n_importance)
 
         render_field = self.field
         if cfg.use_pallas:

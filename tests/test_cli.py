@@ -24,11 +24,15 @@ class TestCLI:
 
     def test_dead_reference_flags_tolerated(self, capsys):
         cfg = config_from_args([
-            "--root_dir", "/r", "--n_importance", "64", "--sc_lambda", "0.1",
+            "--root_dir", "/r", "--noise_std", "0.5", "--sc_lambda", "0.1",
         ])
         assert cfg.root_dir == "/r"
         err = capsys.readouterr().err
-        assert "ignoring flag" in err
+        assert "ignoring flag --noise_std 0.5" in err
+
+    def test_n_importance_is_real_now(self):
+        cfg = config_from_args(["--root_dir", "/r", "--n_importance", "64"])
+        assert cfg.n_importance == 64
 
     def test_subset_flag_maps(self):
         cfg = config_from_args(["--root_dir", "/r", "--subset_Nviews", "9"])
