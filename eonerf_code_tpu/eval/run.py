@@ -87,6 +87,39 @@ def save_outputs_to_images(dataset, sample, results, out_dir, suffix=""):
                                resolution=dsm_res)
 
 
+def save_depth_priors_img(dataset, sample, external_dsm_path, out_dir,
+                          external_conf_path=None, suffix=""):
+    """Write the reprojected depth-prior / DSM-prior / confidence rasters for
+    one view (reference: datasets/satellite.py:241-264)."""
+    import numpy as np
+
+    from eonerf_code_tpu.io.image import save_image_like
+
+    src_id = sample["src_id"]
+    src_path = os.path.join(dataset.img_dir, src_id + ".tif")
+    h, w = sample["h"], sample["w"]
+    json_path = os.path.join(dataset.scene.root_dir, src_id + ".json")
+
+    depths, confs = dataset.load_depth_priors_from_dsm(
+        external_dsm_path, external_conf_path, json_files=[json_path])
+    depth = np.asarray(depths[0] if isinstance(depths, list) else depths)
+    _, _, alts = dataset.utmalt_from_depth(sample["rays"], depth)
+    alts = np.asarray(alts, np.float32)
+    alts[depth < 0.0] = np.nan
+    save_image_like(os.path.join(out_dir, "depth_prior", f"{src_id}{suffix}.tif"),
+                    alts.reshape(1, h, w), src_path)
+    dsm_res = 0.5 if "JAX" in src_id else 0.3
+    dataset.dsm_from_depth(sample["rays"], depth,
+                           dsm_path=os.path.join(out_dir, "dsm_prior",
+                                                 f"{src_id}{suffix}.tif"),
+                           resolution=dsm_res)
+    if confs is not None:
+        conf = np.asarray(confs[0] if isinstance(confs, list) else confs, np.float32)
+        conf[conf < 0.0] = np.nan
+        save_image_like(os.path.join(out_dir, "conf_prior", f"{src_id}{suffix}.tif"),
+                        conf.reshape(1, h, w), src_path)
+
+
 def eval_eonerf(run_id, logs_dir, output_dir, epoch_nb=None, root_dir=None,
                 img_dir=None, gt_dir=None, dsm=False, chunk=4096, dsm_resolution=None):
     run_dir = os.path.join(logs_dir, run_id)

@@ -120,3 +120,17 @@ class TestShadowPriors:
         tr = Trainer(cfg)
         stats = tr.run(log_every=2)
         assert stats["steps"] == 6
+
+
+class TestDepthPriorVisualization:
+    def test_save_depth_priors_img(self, scene, tmp_path):
+        from eonerf_code_tpu.eval.run import save_depth_priors_img
+
+        gt_dsm = os.path.join(scene["gt_dir"], f"{scene['aoi_id']}_DSM.tif")
+        ds = SatelliteDataset(scene["root_dir"], scene["img_dir"], split="val")
+        sample = ds.get_val_sample(0)
+        save_depth_priors_img(ds, sample, gt_dsm, str(tmp_path / "out"))
+        assert os.path.exists(os.path.join(tmp_path, "out", "depth_prior",
+                                           sample["src_id"] + ".tif"))
+        assert os.path.exists(os.path.join(tmp_path, "out", "dsm_prior",
+                                           sample["src_id"] + ".tif"))
