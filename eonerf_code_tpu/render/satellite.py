@@ -20,8 +20,6 @@ Physics/composite parity notes (all against the reference):
 """
 
 import dataclasses
-import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -84,30 +82,20 @@ def _nadir_opacity_diagnostics(field, params, key, origins, cfg):
     return jnp.stack(outs, axis=-1)  # (R, 2)
 
 
-def render_rays(field, params, rays: SatRays, key, cfg: RenderConfig,
-                shadows: bool, occ_grid=None):
-    """Render one block of rays. Fully jittable; `shadows` and `cfg` static.
-
-    Returns a dict of per-ray outputs matching the reference's result keys
-    (sat_rendering.py:322-334).
-    """
-    k_cam, k_sc, k_fine = jax.random.split(key, 3)
-    o, d, sun_d = rays.origins, rays.viewdirs, rays.sundirs
-    if getattr(field, "rpc_correction", False):
-        o = o + field.apply(params, rays.img_idx, method="ray_offset")
-    near = rays.t_near
-
-    # ---- camera pass ----
+def _camera_samples(field, params, o, d, near, key, cfg: RenderConfig):
+    """Camera-ray z construction: stratified base samples plus optional
+    hierarchical fine samples from a coarse sigma-only pass (the reference's
+    dead --n_importance, implemented). Returns (z_mid, delta, pos, mask)."""
+    k_cam, k_fine = jax.random.split(key)
     z_vals = stratified_z_vals(k_cam, near, near + cfg.ray_span, cfg.n_samples,
                                perturb=cfg.perturb)
     if cfg.n_importance > 0:
-        # coarse sigma-only pass -> weight PDF -> fine samples (hierarchical)
-        t0_, t1_, zc_mid, c_delta = intervals_from_z(z_vals)
+        _, _, zc_mid, c_delta = intervals_from_z(z_vals)
         c_pos = o[:, None, :] + d[:, None, :] * zc_mid[..., None]
         c_mask = cube_mask(c_pos, cfg.cube_bound)
         c_sigma = field.apply(params, c_pos, method="density")
-        c_w, _, _ = render_weights(c_sigma, set_last_valid(c_delta, c_mask, cfg.inf_delta),
-                                   c_mask)
+        c_w, _, _ = render_weights(
+            c_sigma, set_last_valid(c_delta, c_mask, cfg.inf_delta), c_mask)
         z_fine = sample_pdf(k_fine, z_vals, c_w, cfg.n_importance,
                             perturb=cfg.perturb)
         z_vals = jnp.sort(jnp.concatenate(
@@ -115,6 +103,30 @@ def render_rays(field, params, rays: SatRays, key, cfg: RenderConfig,
     _, _, z_mid, delta = intervals_from_z(z_vals)
     pos = o[:, None, :] + d[:, None, :] * z_mid[..., None]
     mask = cube_mask(pos, cfg.cube_bound)
+    return z_mid, delta, pos, mask
+
+
+def _corrected_origins(field, params, rays):
+    o = rays.origins
+    if getattr(field, "rpc_correction", False):
+        o = o + field.apply(params, rays.img_idx, method="ray_offset")
+    return o
+
+
+def render_rays(field, params, rays: SatRays, key, cfg: RenderConfig,
+                shadows: bool, occ_grid=None):
+    """Render one block of rays. Fully jittable; `shadows` and `cfg` static.
+
+    Returns a dict of per-ray outputs matching the reference's result keys
+    (sat_rendering.py:322-334).
+    """
+    k_cam, k_sc = jax.random.split(key)
+    d, sun_d = rays.viewdirs, rays.sundirs
+    o = _corrected_origins(field, params, rays)
+    near = rays.t_near
+
+    # ---- camera pass ----
+    z_mid, delta, pos, mask = _camera_samples(field, params, o, d, near, k_cam, cfg)
     if occ_grid is not None:
         mask = mask & occ_grid.query(pos)
     delta_cam = set_last_valid(delta, mask, cfg.inf_delta)
@@ -186,10 +198,11 @@ def render_rays(field, params, rays: SatRays, key, cfg: RenderConfig,
 
 def render_depth(field, params, rays: SatRays, key, cfg: RenderConfig):
     """Depth-only fast path (reference: sat_rendering.py:227-249 /
-    eonerf.py:172-194) — one sigma-only MLP pass, no heads."""
-    pos, z_mid, delta, mask = _sample_block(
-        key, rays.origins, rays.viewdirs, rays.t_near, cfg.n_samples,
-        cfg.ray_span, cfg.perturb, cfg.cube_bound)
+    eonerf.py:172-194) — sigma-only MLP passes, no heads. Honors bundle
+    adjustment and hierarchical sampling like the full path."""
+    o = _corrected_origins(field, params, rays)
+    z_mid, delta, pos, mask = _camera_samples(
+        field, params, o, rays.viewdirs, rays.t_near, key, cfg)
     delta_cam = set_last_valid(delta, mask, cfg.inf_delta)
     sigma = field.apply(params, pos, method="density")
     weights, _, _ = render_weights(sigma, delta_cam, mask)
