@@ -124,6 +124,11 @@ def main():
         except Exception:  # OOM on larger batches is informative, not fatal
             results[bs] = None
     valid = {k: v for k, v in results.items() if v}
+    if not valid:
+        print(json.dumps({"metric": "train_rays_per_sec_per_chip", "value": 0.0,
+                          "unit": "rays/s", "vs_baseline": 0.0,
+                          "error": "all batch sizes failed"}))
+        return
     best_bs = max(valid, key=valid.get)
     best = valid[best_bs]
     out = {
