@@ -159,3 +159,41 @@ class TestRenderImage:
         out = render_image(field, params, rays, jax.random.PRNGKey(0), cfg,
                            shadows=False, chunk=16, depth_only=True)
         assert out["depth"].shape == (50, 1)
+
+
+class TestOccupancyGatedRendering:
+    def test_occ_grid_masks_empty_space(self, rng, tiny_field):
+        """An occupancy grid marking everything empty must zero the render
+        weights (opacity 0, albedo accumulation 0)."""
+        import jax
+        from eonerf_code_tpu.ops.occupancy import OccupancyGrid
+
+        field, params = tiny_field
+        rays = make_rays(rng, 8)
+        cfg = RenderConfig(n_samples=16, sc_n_samples=16)
+        empty = OccupancyGrid.create(resolution=8)  # all-False binaries
+        out = render_rays(field, params, rays, jax.random.PRNGKey(0), cfg,
+                          shadows=False, occ_grid=empty)
+        np.testing.assert_allclose(np.asarray(out["opacity"]), 0.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["albedo_rgb"]), 0.0, atol=1e-6)
+
+        full = empty.replace(binaries=jnp.ones((8, 8, 8), dtype=bool))
+        out_full = render_rays(field, params, rays, jax.random.PRNGKey(0), cfg,
+                               shadows=False, occ_grid=full)
+        out_none = render_rays(field, params, rays, jax.random.PRNGKey(0), cfg,
+                               shadows=False, occ_grid=None)
+        np.testing.assert_allclose(np.asarray(out_full["rgb"]),
+                                   np.asarray(out_none["rgb"]), atol=1e-6)
+
+
+class TestNadirDiagnostics:
+    def test_opacity_after_surface_outputs(self, rng, tiny_field):
+        import jax
+
+        field, params = tiny_field
+        rays = make_rays(rng, 8)
+        cfg = RenderConfig(n_samples=16, sc_n_samples=16, nadir_diagnostics=True)
+        out = render_rays(field, params, rays, jax.random.PRNGKey(0), cfg, shadows=False)
+        v = np.asarray(out["opacity_after_surface"])
+        assert v.shape == (8, 2)
+        assert np.isfinite(v).all() and (v >= 0).all() and (v <= 1).all()
