@@ -104,6 +104,22 @@ class TestTraining:
         assert os.path.exists(out["dsm_path"])
         assert os.path.exists(out["rdsm_path"])
 
+    def test_eval_eonerf_per_view_report(self, trained, scene, tmp_path):
+        """dsm=False branch: per-view photometric report over train+test
+        rosters (eval_eonerf.py:378-381)."""
+        trainer, _ = trained
+        trainer.save()
+        from eonerf_code_tpu.eval.run import eval_eonerf
+
+        report = eval_eonerf("e2e", logs_dir=trainer.cfg.logs_dir,
+                             output_dir=str(tmp_path / "pv"), dsm=False)
+        assert len(report) == 5  # 4 train + 1 test view
+        for row in report:
+            assert np.isfinite(row["loss"]) and np.isfinite(row["psnr"])
+        # rendered rasters written per view
+        assert os.path.exists(os.path.join(tmp_path, "pv", "e2e", "rgb",
+                                           report[0]["src_id"] + ".tif"))
+
     def test_checkpoint_resume(self, trained, scene):
         trainer, _ = trained
         path = trainer.save()
