@@ -294,6 +294,20 @@ class Trainer:
         return max(k, 1)
 
     def run(self, max_steps=None, log_every=50):
+        """Train to max_steps. A checkpoint is saved even when the loop dies
+        mid-flight (resume via ckpt_path then continues from it)."""
+        try:
+            return self._run(max_steps, log_every)
+        except BaseException:
+            if self.step > 0:
+                try:
+                    self.save()
+                    self.logger.flush()
+                except Exception:
+                    pass
+            raise
+
+    def _run(self, max_steps=None, log_every=50):
         cfg = self.cfg
         max_steps = max_steps or cfg.max_train_steps
         key = jax.random.PRNGKey(cfg.seed)
