@@ -233,6 +233,7 @@ class Trainer:
 
         self.step = 0
         self.epoch = 0
+        self.best_val_mae = float("inf")
         if cfg.ckpt_path:
             self.restore(cfg.ckpt_path)
 
@@ -413,6 +414,13 @@ class Trainer:
         for k, v in agg.items():
             if v:
                 self.logger.scalar(f"val/{k}", float(np.mean(v)), self.step)
+        # track the best-geometry model: late-stage shadow/uncertainty
+        # training can degrade the DSM (see STATUS.md), so the best-val-MAE
+        # checkpoint is the one to evaluate
+        if agg["mae"] and float(np.mean(agg["mae"])) < self.best_val_mae:
+            self.best_val_mae = float(np.mean(agg["mae"]))
+            ckpt_lib.save_checkpoint(self.log_dir, "best", self._state_pytree())
+            self.logger.scalar("val/best_mae", self.best_val_mae, self.step)
         self.logger.flush()
 
     def _gt_grid_local(self):
