@@ -104,15 +104,15 @@ class TestBestCheckpointTracking:
         from eonerf_code_tpu.train.loop import Trainer
 
         out = str(tmp_path_factory.mktemp("best_scene"))
-        scene = generate_scene(out, SyntheticSceneSpec(n_views=3, n_test_views=1,
-                                                       img_size=32, dsm_resolution=2.0))
+        scene = generate_scene(out, SyntheticSceneSpec(n_views=2, n_test_views=1,
+                                                       img_size=24, dsm_resolution=2.0))
         cfg = TrainConfig(root_dir=scene["root_dir"], img_dir=scene["img_dir"],
                           gt_dir=scene["gt_dir"], aoi_id=scene["aoi_id"],
                           logs_dir=str(tmp_path_factory.mktemp("best_logs")),
-                          exp_name="b", batch_size=256, max_train_steps=42,
-                          n_samples=16, net_depth=2, net_width=32,
-                          occ_enabled=False, val_freq=20, n_val_images=2,
-                          chunk=1024)
+                          exp_name="b", batch_size=128, max_train_steps=22,
+                          n_samples=12, net_depth=2, net_width=32,
+                          occ_enabled=False, val_freq=10, n_val_images=2,
+                          chunk=576)
         tr = Trainer(cfg)
         tr.run(log_every=10**9)
         assert np.isfinite(tr.best_val_mae)
