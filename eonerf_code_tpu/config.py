@@ -127,9 +127,12 @@ def preset(name, **overrides):
         "jax_new": dict(max_train_steps=300000, **base),
         # run_IARPA.sh: IARPA MVS AOIs, 500k steps
         "iarpa": dict(max_train_steps=500000, **base),
-        # hermetic synthetic scene (tests / bench)
-        "synthetic": dict(img_downscale=1.0, n_samples=64, batch_size=1024,
-                          max_train_steps=3000, n_grid=64),
+        # hermetic synthetic scene (tests / bench) — validated schedule:
+        # step-based gates (epochs are tiny on synthetic scenes, STATUS.md)
+        "synthetic": dict(img_downscale=1.0, n_samples=64, batch_size=2048,
+                          max_train_steps=3000, n_grid=64, occ_enabled=False,
+                          net_width=128, lr_decay_steps=1000,
+                          first_shadow_step=1500, first_beta_step=10**9),
     }
     if name not in presets:
         raise KeyError(f"unknown preset '{name}' (have {sorted(presets)})")
