@@ -37,11 +37,12 @@ def main(workdir="/tmp/eonerf_prod", steps=20000):
         aoi_id=scene["aoi_id"], cache_dir=os.path.join(workdir, "cache"),
         batch_size=4096, max_train_steps=int(steps), n_samples=96,
         net_depth=8, net_width=256, occ_enabled=False,
-        # beta (uncertainty) loss stays off: the synthetic scene has no
-        # transient objects for it to absorb, and it measurably relaxes the
-        # photometric pressure on geometry (0.48 m -> 2.0 m MAE when enabled
-        # at step 12k in the 2026-08 validation run)
-        lr_decay_steps=6000, first_shadow_step=6000, first_beta_step=10**9,
+        # lr_decay_steps=3000 is load-bearing: with slower decay the shadow
+        # phase progressively deforms geometry (MAE 0.79 -> 1.6 m from 10k
+        # to 20k steps); at 3000 the same run IMPROVES monotonically to
+        # 0.36 m @ 20k. Beta loss stays off (no transients in synthetic
+        # data for it to absorb).
+        lr_decay_steps=3000, first_shadow_step=6000, first_beta_step=10**9,
         val_freq=10**9, chunk=8192, steps_per_call=50)
     trainer = Trainer(cfg)
     print(f"dataset: {trainer.n_rays:,} rays, {trainer.n_images} images", flush=True)
