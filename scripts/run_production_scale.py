@@ -40,9 +40,9 @@ def main(workdir="/tmp/eonerf_prod", steps=20000):
         # lr_decay_steps=3000 is load-bearing: with slower decay the shadow
         # phase progressively deforms geometry (MAE 0.79 -> 1.6 m from 10k
         # to 20k steps); at 3000 the same run IMPROVES monotonically to
-        # 0.36 m @ 20k. Beta loss stays off (no transients in synthetic
-        # data for it to absorb).
-        lr_decay_steps=3000, first_shadow_step=6000, first_beta_step=10**9,
+        # 0.361 m @ 20k with the FULL reference loss schedule (beta from
+        # 12k is harmless once the lr is right: 0.361 m / 24.55 dB).
+        lr_decay_steps=3000, first_shadow_step=6000, first_beta_step=12000,
         val_freq=10**9, chunk=8192, steps_per_call=50)
     trainer = Trainer(cfg)
     print(f"dataset: {trainer.n_rays:,} rays, {trainer.n_images} images", flush=True)
