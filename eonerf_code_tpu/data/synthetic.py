@@ -112,19 +112,6 @@ class SyntheticScene:
                + np.sin(2 * np.pi * (e - n - self.e0 + self.n0) / 23.1)) / 4.0
         return np.clip(base * (1.0 + 0.45 * tex[..., None]), 0.02, 1.0)
 
-    def surface_intersection(self, rays_o, rays_d, n_steps=3000):
-        """First crossing below the heightfield along each world-space ray.
-
-        Returns (t_hit, hit_xyz). Rays are (N, 8)-style arrays (o, d, near,
-        far); marching resolution ~ alt_range / n_steps.
-        """
-        o = rays_o
-        d = rays_d
-        t = np.linspace(0.0, 1.0, n_steps)
-        # all rays span [0, far]; sample each ray over its own far
-        far = np.linalg.norm(d, axis=1)  # d is unit: use explicit far instead
-        raise NotImplementedError  # replaced by march() below
-
     def _box_entry_t(self, o, d, t_min=0.0):
         """Smallest positive entry t of each ray into any building box
         (exact AABB slab tests, vectorized over rays). Returns +inf where

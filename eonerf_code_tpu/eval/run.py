@@ -43,19 +43,30 @@ def load_run(run_dir, epoch_nb=None, n_images=None):
         path = ckpt_lib.latest_checkpoint(run_dir)
     assert path is not None and os.path.exists(path), f"no checkpoint under {run_dir}"
 
+    restored = ckpt_lib.restore_checkpoint(path)
+    params = jax.tree_util.tree_map(jnp.asarray, restored["params"])
+
     if n_images is None:
-        with open(os.path.join(cfg.root_dir, "train.txt")) as f:
-            n_images = len([x for x in f.read().split("\n") if ".json" in x])
-        if cfg.subset_n_views is not None and cfg.subset_n_views > 1:
-            n_images = min(n_images, cfg.subset_n_views)
+        train_txt = os.path.join(cfg.root_dir, "train.txt")
+        if os.path.exists(train_txt):
+            with open(train_txt) as f:
+                n_images = len([x for x in f.read().split("\n") if ".json" in x])
+            if cfg.subset_n_views is not None and cfg.subset_n_views > 1:
+                n_images = min(n_images, cfg.subset_n_views)
+    # tolerate an embedding-vocab mismatch between checkpoint and dataset:
+    # the checkpointed table size wins (eval_eonerf.py:52-56 — the reference
+    # warns and adopts the embedding-dict shape)
+    n_in_ckpt = params["params"]["transient_encoder"]["embedding"].shape[0]
+    if n_images is not None and n_images != n_in_ckpt:
+        print("warning: number of input images is inconsistent with the "
+              f"shape of the embedding dictionary ({n_images} vs {n_in_ckpt})")
+    n_images = n_in_ckpt
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     field = EONerfField(n_images=n_images, net_depth=cfg.net_depth,
                         net_width=cfg.net_width,
                         radiometric_normalization=cfg.radiometric_normalization,
                         rpc_correction=cfg.rpc_correction,
                         compute_dtype=dtype)
-    restored = ckpt_lib.restore_checkpoint(path)
-    params = jax.tree_util.tree_map(jnp.asarray, restored["params"])
     return cfg, field, params
 
 

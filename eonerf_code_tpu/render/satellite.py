@@ -89,6 +89,17 @@ def _camera_samples(field, params, o, d, near, key, cfg: RenderConfig):
     k_cam, k_fine = jax.random.split(key)
     z_vals = stratified_z_vals(k_cam, near, near + cfg.ray_span, cfg.n_samples,
                                perturb=cfg.perturb)
+    # zero-valid-sample fallback (sat_rendering.py:259-262): rays whose
+    # samples all fall outside the cube are re-sampled from the DEFAULT near
+    # plane (near=0, far=2). Per-ray here (the reference re-samples the whole
+    # chunk); pre-MLP, so the cost is a second elementwise mask pass only.
+    _, _, z_mid0, _ = intervals_from_z(z_vals)
+    pos0 = o[:, None, :] + d[:, None, :] * z_mid0[..., None]
+    has_valid = jnp.any(cube_mask(pos0, cfg.cube_bound), axis=-1)
+    z_default = stratified_z_vals(k_cam, jnp.zeros_like(near),
+                                  jnp.full_like(near, cfg.ray_span),
+                                  cfg.n_samples, perturb=cfg.perturb)
+    z_vals = jnp.where(has_valid[:, None], z_vals, z_default)
     if cfg.n_importance > 0:
         _, _, zc_mid, c_delta = intervals_from_z(z_vals)
         c_pos = o[:, None, :] + d[:, None, :] * zc_mid[..., None]

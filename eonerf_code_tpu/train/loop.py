@@ -40,15 +40,21 @@ from eonerf_code_tpu.utils import metrics as M
 from eonerf_code_tpu.utils.tb import MetricsLogger
 
 
-def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
-    """Adam with the reference's per-epoch StepLR(gamma) schedule, or a
-    step-based variant when cfg.lr_decay_steps is set."""
+def make_lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
+    """The reference's per-epoch StepLR(gamma) schedule, or a step-based
+    variant when cfg.lr_decay_steps is set. Shared by the optimizer and the
+    TB `lr` scalar so the logged curve is the optimizer's actual lr."""
     decay_every = cfg.lr_decay_steps or max(steps_per_epoch, 1)
 
     def lr_schedule(step):
         return cfg.lr * (cfg.lr_gamma_per_epoch ** (step // decay_every))
 
-    return optax.adam(learning_rate=lr_schedule)
+    return lr_schedule
+
+
+def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
+    """Adam with the schedule from make_lr_schedule."""
+    return optax.adam(learning_rate=make_lr_schedule(cfg, steps_per_epoch))
 
 
 def make_loss_fn(field, rcfg: RenderConfig, has_depth=False, has_conf=False,
@@ -197,6 +203,7 @@ class Trainer:
         self.params = self.field.init(
             key, jnp.zeros((2, 3, 3)), jnp.zeros((2, 3)), jnp.zeros((2,), jnp.int32),
             method="init_all")
+        self.lr_schedule = make_lr_schedule(cfg, self.steps_per_epoch)
         self.optimizer = make_optimizer(cfg, self.steps_per_epoch)
         self.opt_state = self.optimizer.init(self.params)
         if mesh is not None:
@@ -349,7 +356,7 @@ class Trainer:
                     self.logger.scalars(
                         {kk: v for kk, v in ld.items() if kk != "psnr"}, done_step, "train/")
                     self.logger.scalar("train/psnr", ld["psnr"], done_step)
-                    self.logger.scalar("lr", cfg.lr * cfg.lr_gamma_per_epoch**self.epoch, done_step)
+                    self.logger.scalar("lr", float(self.lr_schedule(done_step)), done_step)
                     self.logger.scalar("epoch", self.epoch, done_step)
                     dt = time.time() - tic
                     if dt > 0 and done_step > 0:
@@ -402,15 +409,19 @@ class Trainer:
                          visualize_depth(np.asarray(out["depth"]).reshape(h, w))]
                 tag = "train_0/gt_pred_depth" if i == 0 else "val_0/gt_pred_depth"
                 self.logger.image_panel(tag, panel, self.step)
-            if i > 0 and cfg.gt_dir is not None:
-                try:
-                    mae = self._val_mae(sample, out)
-                    agg["mae"].append(mae)
-                except Exception:  # MAE is best-effort during training
-                    self.logger.scalar("val/mae_failed", 1.0, self.step)
+            if i > 0:
+                # val loss/psnr are logged regardless of lidar GT
+                # (train_eonerf.py:199 logs them unconditionally); only the
+                # DSM MAE needs gt_dir
                 for k in ("loss", "coarse_color", "coarse_logbeta"):
                     agg[k].append(float(ld[k]))
                 agg["psnr"].append(float(psnr_))
+                if cfg.gt_dir is not None:
+                    try:
+                        mae = self._val_mae(sample, out)
+                        agg["mae"].append(mae)
+                    except Exception:  # MAE is best-effort during training
+                        self.logger.scalar("val/mae_failed", 1.0, self.step)
         for k, v in agg.items():
             if v:
                 self.logger.scalar(f"val/{k}", float(np.mean(v)), self.step)

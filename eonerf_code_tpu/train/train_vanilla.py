@@ -30,8 +30,8 @@ from eonerf_code_tpu.utils.tb import MetricsLogger
 def train_vanilla(subject_id="lego", root_fp="data/nerf_synthetic", logs_dir="logs",
                   max_steps=50000, batch_size=4096, lr=5e-4, n_samples=129,
                   grid_resolution=64, occ_every=16, log_every=100, seed=42,
-                  net_depth=8, net_width=256):
-    ds = BlenderDataset(subject_id, root_fp, split="train", num_rays=batch_size, seed=seed)
+                  net_depth=8, net_width=256, train_split="train"):
+    ds = BlenderDataset(subject_id, root_fp, split=train_split, num_rays=batch_size, seed=seed)
     model = VanillaNeRF(net_depth=net_depth, net_width=net_width)
     key = jax.random.PRNGKey(seed)
     params = model.init(key, jnp.zeros((2, 3, 3)), jnp.zeros((2, 1, 3)))

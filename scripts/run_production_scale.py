@@ -6,7 +6,7 @@ buildings, ~1M training rays — the scale of one DFC2019 crop at the
 reference's downscale-2 setting. Trains EO-NeRF on the attached chip and
 reports the registered DSM altitude MAE at 1 m grid resolution.
 
-    python scripts/run_production_scale.py [workdir] [steps]
+    python scripts/run_production_scale.py [workdir] [steps] [compute_dtype]
 """
 
 import os
@@ -22,7 +22,7 @@ from eonerf_code_tpu.data.synthetic import SyntheticSceneSpec, generate_scene  #
 from eonerf_code_tpu.train.loop import Trainer  # noqa: E402
 
 
-def main(workdir="/tmp/eonerf_prod", steps=20000):
+def main(workdir="/tmp/eonerf_prod", steps=20000, compute_dtype="float32"):
     spec = SyntheticSceneSpec(
         n_views=10, n_test_views=2, img_size=320, extent=400.0,
         n_buildings=9, box_size=60.0, box_height=24.0,
@@ -43,7 +43,8 @@ def main(workdir="/tmp/eonerf_prod", steps=20000):
         # 0.361 m @ 20k with the FULL reference loss schedule (beta from
         # 12k is harmless once the lr is right: 0.361 m / 24.55 dB).
         lr_decay_steps=3000, first_shadow_step=6000, first_beta_step=12000,
-        val_freq=10**9, chunk=8192, steps_per_call=50)
+        val_freq=10**9, chunk=8192, steps_per_call=50,
+        compute_dtype=compute_dtype)
     trainer = Trainer(cfg)
     print(f"dataset: {trainer.n_rays:,} rays, {trainer.n_images} images", flush=True)
 

@@ -95,3 +95,20 @@ class TestVanillaTraining:
                             grid_resolution=16, net_depth=2, net_width=32)
         p = eval_psnr(res, split="test", root_fp=root, subject_id=subject, n_images=1)
         assert np.isfinite(p)
+
+
+class TestRootCLI:
+    def test_train_mlp_nerf_cli_psnr(self, mini_blender, tmp_path):
+        """The user-facing entry (root train_mlp_nerf.py — the reference
+        ships it broken) trains and reports a REAL test PSNR."""
+        import train_mlp_nerf
+
+        root, subject = mini_blender
+        psnr = train_mlp_nerf.main([
+            "--data_root", root, "--scene", subject, "--train_split", "train",
+            "--logs_dir", str(tmp_path), "--max_steps", "300",
+            "--batch_size", "256", "--net_depth", "2", "--net_width", "32",
+            "--n_samples", "17", "--grid_resolution", "16",
+            "--n_test_images", "1", "--test_chunk_size", "512"])
+        # the mini subject is a flat white blob; 300 steps must fit it well
+        assert psnr > 18.0

@@ -1,0 +1,135 @@
+"""Regression tests for reference edge-case parity (round-2 VERDICT items):
+
+(a) zero-valid-sample ray fallback: rays whose samples all fall outside the
+    cube are re-sampled from the default near plane
+    (reference sat_rendering.py:259-262);
+(b) embedding-mismatch-tolerant eval restore: the checkpointed embedding
+    table size wins over the dataset image count
+    (reference eval_eonerf.py:52-56);
+(c) val loss/psnr are logged even without lidar GT
+    (reference train_eonerf.py:199).
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eonerf_code_tpu.data.rays import satrays_from_tensor
+from eonerf_code_tpu.models.eonerf import EONerfField
+from eonerf_code_tpu.render.satellite import RenderConfig, render_rays
+
+
+def _make_rays(n, t_near):
+    o = np.zeros((n, 3), np.float32)
+    o[:, 2] = 0.9
+    d = np.tile(np.array([0.0, 0.0, -1.0], np.float32), (n, 1))
+    sun = np.tile(np.array([0.3, 0.2, -0.93], np.float32), (n, 1))
+    sun /= np.linalg.norm(sun, axis=1, keepdims=True)
+    rays = np.hstack([o, d, np.full((n, 1), t_near, np.float32),
+                      np.full((n, 1), t_near + 2.0, np.float32), sun])
+    return rays.astype(np.float32)
+
+
+class TestZeroValidSampleFallback:
+    @pytest.fixture(scope="class")
+    def field_and_params(self):
+        field = EONerfField(n_images=3)
+        params = field.init(jax.random.PRNGKey(0), jnp.zeros((2, 4, 3)),
+                            jnp.zeros((2, 3)), jnp.zeros((2,), jnp.int32),
+                            method="init_all")
+        return field, params
+
+    def test_out_of_cube_rays_resampled_from_default_near(self, field_and_params):
+        field, params = field_and_params
+        # t_near=10: samples span [10, 12] along the ray -> every sample is
+        # outside [-1, 1]^3. The fallback must re-sample from near=0 where
+        # the same ray crosses the cube.
+        bad = _make_rays(4, t_near=10.0)
+        rays = satrays_from_tensor(jnp.asarray(bad), jnp.zeros((4,), jnp.int32))
+        cfg = RenderConfig(n_samples=32, sc_n_samples=32)
+        out = render_rays(field, params, rays, jax.random.PRNGKey(1), cfg,
+                          shadows=False)
+        assert np.all(np.asarray(out["pts_per_ray"]) > 0)
+
+    def test_valid_rays_unchanged_by_fallback(self, field_and_params):
+        field, params = field_and_params
+        # same rays with the default near: the fallback path must be a no-op
+        # (bit-identical outputs, since the where() picks the original z).
+        good = _make_rays(4, t_near=0.0)
+        rays = satrays_from_tensor(jnp.asarray(good), jnp.zeros((4,), jnp.int32))
+        cfg = RenderConfig(n_samples=32, sc_n_samples=32)
+        out = render_rays(field, params, rays, jax.random.PRNGKey(1), cfg,
+                          shadows=False)
+        bad = _make_rays(4, t_near=10.0)
+        rays_b = satrays_from_tensor(jnp.asarray(bad), jnp.zeros((4,), jnp.int32))
+        out_b = render_rays(field, params, rays_b, jax.random.PRNGKey(1), cfg,
+                            shadows=False)
+        # fallback rays sample [0, 2] like the good rays; same geometry ->
+        # same valid-point count
+        np.testing.assert_array_equal(np.asarray(out["pts_per_ray"]),
+                                      np.asarray(out_b["pts_per_ray"]))
+
+
+class TestEmbeddingMismatchRestore:
+    def test_checkpoint_vocab_wins(self, tmp_path, capsys):
+        from eonerf_code_tpu.config import TrainConfig
+        from eonerf_code_tpu.eval.run import load_run
+        from eonerf_code_tpu.train import checkpoints as ckpt_lib
+
+        n_ckpt_images = 4
+        field = EONerfField(n_images=n_ckpt_images, net_depth=2, net_width=32)
+        params = field.init(jax.random.PRNGKey(0), jnp.zeros((2, 4, 3)),
+                            jnp.zeros((2, 3)), jnp.zeros((2,), jnp.int32),
+                            method="init_all")
+
+        root = tmp_path / "root"
+        root.mkdir()
+        # train.txt lists SIX images -> disagrees with the 4-row embedding
+        (root / "train.txt").write_text("\n".join(f"img_{i}.json" for i in range(6)))
+        run_dir = tmp_path / "run"
+        cfg = TrainConfig(root_dir=str(root), logs_dir=str(tmp_path),
+                          exp_name="run", net_depth=2, net_width=32)
+        run_dir.mkdir()
+        cfg.save(str(run_dir / "opts.json"))
+        ckpt_lib.save_checkpoint(str(run_dir), 0,
+                                 {"params": params, "step": 0, "epoch": 0})
+
+        cfg2, field2, params2 = load_run(str(run_dir))
+        assert field2.n_images == n_ckpt_images
+        assert "inconsistent" in capsys.readouterr().out
+        # restored params must actually drive the model
+        out = field2.apply(params2, jnp.zeros((2, 4, 3)), jnp.zeros((2, 3)),
+                           jnp.zeros((2,), jnp.int32))
+        assert out[0].shape == (2, 4)
+
+
+class TestValMetricsWithoutGT:
+    def test_val_loss_psnr_logged_without_gt_dir(self, tmp_path):
+        from eonerf_code_tpu.config import TrainConfig
+        from eonerf_code_tpu.data.synthetic import SyntheticSceneSpec, generate_scene
+        from eonerf_code_tpu.train.loop import Trainer
+
+        scene = generate_scene(str(tmp_path / "scene"),
+                               SyntheticSceneSpec(n_views=3, n_test_views=1,
+                                                  img_size=24, dsm_resolution=4.0))
+        cfg = TrainConfig(
+            root_dir=scene["root_dir"], img_dir=scene["img_dir"], gt_dir=None,
+            logs_dir=str(tmp_path / "logs"), exp_name="nogt",
+            batch_size=128, max_train_steps=2, n_samples=16,
+            net_depth=2, net_width=32, occ_enabled=False, val_freq=10**9,
+            chunk=576)
+        trainer = Trainer(cfg)
+        trainer.run(log_every=1)
+        trainer.validate()
+        trainer.logger.flush()
+        tags = set()
+        with open(os.path.join(trainer.log_dir, "metrics.jsonl")) as f:
+            for line in f:
+                tags.add(json.loads(line)["tag"])
+        # the reference logs val loss/psnr regardless of GT availability
+        assert "val/loss" in tags and "val/psnr" in tags
+        assert "val/mae" not in tags  # no GT -> no MAE, but no crash either
