@@ -132,7 +132,8 @@ def save_depth_priors_img(dataset, sample, external_dsm_path, out_dir,
 
 
 def eval_eonerf(run_id, logs_dir, output_dir, epoch_nb=None, root_dir=None,
-                img_dir=None, gt_dir=None, dsm=False, chunk=4096, dsm_resolution=None):
+                img_dir=None, gt_dir=None, dsm=False, chunk=4096, dsm_resolution=None,
+                pinhole=False):
     run_dir = os.path.join(logs_dir, run_id)
     cfg, field, params = load_run(run_dir, epoch_nb)
     if root_dir:
@@ -165,7 +166,7 @@ def eval_eonerf(run_id, logs_dir, output_dir, epoch_nb=None, root_dir=None,
         rays_np, h, w = nadir_rays_with_sun(
             int(d["width"]), int(d["height"]), 90.0 - float(d["sun_elevation"]),
             float(d["sun_azimuth"]), dataset.scene.scene_scale,
-            img_downscale=cfg.img_downscale)
+            img_downscale=cfg.img_downscale, pinhole=pinhole)
         rays = satrays_from_tensor(jnp.asarray(rays_np),
                                    jnp.zeros((rays_np.shape[0],), jnp.int32))
         results = render_image(field, params, rays, key, rcfg, shadows=True, chunk=chunk)

@@ -42,8 +42,10 @@ def unstack_params(stacked, n_scenes):
 
 class MultiAOITrainer:
     """Minimal scene-parallel trainer over device-resident per-scene ray
-    pools. Pools are truncated to a common length so batches stack into a
-    dense (S, B, ...) block."""
+    pools. Pools are PADDED to the largest scene's length so batches stack
+    into a dense (S, B, ...) block; per-scene batch indices are drawn
+    uniformly over each scene's TRUE ray count, so unequal scenes lose zero
+    rays and padding rows are never sampled."""
 
     def __init__(self, datasets, mesh, cfg=None, n_samples=64, batch_size=1024,
                  lr=5e-4, net_depth=8, net_width=256, seed=42,
@@ -70,12 +72,24 @@ class MultiAOITrainer:
         self.optimizer = optax.adam(lr)
         self.opt_state = jax.vmap(self.optimizer.init)(self.params)
 
-        n_min = min(d.all_rays.shape[0] for d in datasets)
-        self.n_rays = n_min
+        n_max = max(d.all_rays.shape[0] for d in datasets)
+        self.n_rays_per_scene = np.array([d.all_rays.shape[0] for d in datasets],
+                                         np.int32)
+        self.n_rays = n_max  # padded pool length
+
+        def _pad(x):
+            x = np.asarray(x)
+            if x.shape[0] == n_max:
+                return jnp.asarray(x)
+            # wrap-pad: the fill is real data but is NEVER sampled (indices
+            # are drawn modulo the scene's true length)
+            reps = -(-n_max // x.shape[0])
+            return jnp.asarray(np.concatenate([x] * reps, axis=0)[:n_max])
+
         self.data = {
-            "rays": jnp.stack([jnp.asarray(d.all_rays[:n_min]) for d in datasets]),
-            "rgbs": jnp.stack([jnp.asarray(d.all_rgbs[:n_min]) for d in datasets]),
-            "ts": jnp.stack([jnp.asarray(d.all_ids_img[:n_min, 0].astype(np.int32))
+            "rays": jnp.stack([_pad(d.all_rays) for d in datasets]),
+            "rgbs": jnp.stack([_pad(d.all_rgbs) for d in datasets]),
+            "ts": jnp.stack([_pad(d.all_ids_img[:, 0].astype(np.int32))
                              for d in datasets]),
         }
 
@@ -116,10 +130,12 @@ class MultiAOITrainer:
         """Run n_steps scene-parallel steps; returns per-scene losses of the
         last step."""
         losses = None
+        n_scene = jnp.asarray(self.n_rays_per_scene)[:, None]
         for _ in range(n_steps):
             self._key, k1, k2 = jax.random.split(self._key, 3)
-            idx = jax.random.randint(k1, (self.n_scenes, self.batch_size),
-                                     0, self.n_rays)
+            # uniform over each scene's TRUE ray count (padding never drawn)
+            u = jax.random.uniform(k1, (self.n_scenes, self.batch_size))
+            idx = jnp.minimum((u * n_scene).astype(jnp.int32), n_scene - 1)
             keys = jax.random.split(k2, self.n_scenes)
             self.params, self.opt_state, losses = self._multi_step(
                 self.params, self.opt_state, self.data, idx, keys, shadows)

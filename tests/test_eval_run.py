@@ -35,3 +35,49 @@ class TestNadirRays:
         # all origins lie on a plane with normal d through pt_a
         rel = o - o.mean(0)
         np.testing.assert_allclose(rel @ d, 0.0, atol=1e-5)
+
+
+class TestPinholeCamera:
+    """The reference's dormant pinhole branch (eval_eonerf.py:152,166-179),
+    implemented for real."""
+
+    def test_shared_origin_and_fov(self):
+        from eonerf_code_tpu.render.nadir import pose_spherical, virtual_pinhole_rays
+
+        rays = virtual_pinhole_rays(16, 16, focal=16.0, radius=2.0)
+        assert rays.shape == (256, 8)
+        o, d = rays[:, :3], rays[:, 3:6]
+        # one shared camera center for all rays
+        assert np.allclose(o, o[0], atol=1e-7)
+        np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-6)
+        # nadir pose at radius 2: camera at (0, 0, 2) looking down -z
+        np.testing.assert_allclose(o[0], [0.0, 0.0, 2.0], atol=1e-6)
+        c = (16 // 2) * 16 + 16 // 2
+        assert d[c, 2] < -0.99
+        # rays diverge (perspective, not ortho)
+        assert np.abs(d[0] - d[-1]).max() > 0.1
+        # near/far per the reference rule: max(0, radius-2) / near+2.5
+        np.testing.assert_allclose(rays[:, 6], 0.0)
+        np.testing.assert_allclose(rays[:, 7], 2.5)
+
+    def test_pose_spherical_matches_reference_composition(self):
+        from eonerf_code_tpu.render.nadir import pose_spherical
+
+        c2w = pose_spherical(30.0, 20.0, 3.0)
+        # camera center distance preserved by the rotations
+        np.testing.assert_allclose(np.linalg.norm(c2w[:3, 3]), 3.0, atol=1e-9)
+        # rotation block is orthonormal
+        r = c2w[:3, :3]
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-12)
+
+    def test_nadir_rays_with_sun_pinhole(self):
+        from eonerf_code_tpu.render.nadir import nadir_rays_with_sun
+
+        rays, h, w = nadir_rays_with_sun(10, 12, 40.0, 150.0,
+                                         np.array([120.0, 110.0, 17.0]),
+                                         pinhole=True)
+        assert rays.shape == (120, 11)
+        o = rays[:, :3]
+        assert np.allclose(o, o[0], atol=1e-7)
+        np.testing.assert_allclose(np.linalg.norm(rays[:, 8:11], axis=1), 1.0,
+                                   atol=1e-5)

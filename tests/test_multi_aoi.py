@@ -61,3 +61,58 @@ class TestMultiAOI:
         assert len(devs) == 8 or len(devs) == 2  # replicated within data groups
         shard_shape = kernel.addressable_shards[0].data.shape
         assert shard_shape[0] == 1  # one scene per scene-group
+
+
+class TestUnequalScenes:
+    @pytest.fixture(scope="class")
+    def unequal_scenes(self, tmp_path_factory):
+        datasets = []
+        # different image sizes -> different ray-pool lengths
+        for i, (size, aoi) in enumerate([(32, "SYN_300"), (24, "SYN_400")]):
+            out = str(tmp_path_factory.mktemp(f"uaoi{i}"))
+            spec = SyntheticSceneSpec(n_views=3, n_test_views=1, img_size=size,
+                                      seed=10 + i)
+            info = generate_scene(out, spec, aoi_id=aoi)
+            datasets.append(SatelliteDataset(info["root_dir"], info["img_dir"],
+                                             split="train"))
+        return datasets
+
+    def test_zero_rays_lost(self, unequal_scenes):
+        """Round-1 weakness: pools were truncated to the SMALLEST scene.
+        Now every scene keeps its full pool (padded, padding never drawn)."""
+        mesh = make_mesh(n_data=4, n_scene=2)
+        tr = MultiAOITrainer(unequal_scenes, mesh, n_samples=16, batch_size=64,
+                             net_depth=2, net_width=32)
+        n0 = unequal_scenes[0].all_rays.shape[0]
+        n1 = unequal_scenes[1].all_rays.shape[0]
+        assert n0 != n1
+        np.testing.assert_array_equal(tr.n_rays_per_scene, [n0, n1])
+        # the stacked pool holds the LARGEST scene in full
+        assert tr.data["rays"].shape[1] == max(n0, n1)
+        # the big scene's tail rays (beyond the old n_min cut) are present
+        big = 0 if n0 > n1 else 1
+        np.testing.assert_allclose(
+            np.asarray(tr.data["rays"][big, max(n0, n1) - 1]),
+            np.asarray(unequal_scenes[big].all_rays[max(n0, n1) - 1]), rtol=1e-6)
+
+    def test_indices_cover_full_pool_but_not_padding(self, unequal_scenes):
+        import jax.numpy as jnp
+
+        mesh = make_mesh(n_data=4, n_scene=2)
+        tr = MultiAOITrainer(unequal_scenes, mesh, n_samples=16, batch_size=64,
+                             net_depth=2, net_width=32)
+        n_scene = jnp.asarray(tr.n_rays_per_scene)[:, None]
+        u = jax.random.uniform(jax.random.PRNGKey(0), (tr.n_scenes, 20000))
+        idx = np.asarray(jnp.minimum((u * n_scene).astype(jnp.int32), n_scene - 1))
+        for s in range(2):
+            n = tr.n_rays_per_scene[s]
+            assert idx[s].max() < n          # padding never sampled
+            assert idx[s].max() > 0.99 * n   # full pool actually covered
+            assert idx[s].min() >= 0
+
+    def test_training_step_runs(self, unequal_scenes):
+        mesh = make_mesh(n_data=4, n_scene=2)
+        tr = MultiAOITrainer(unequal_scenes, mesh, n_samples=16, batch_size=64,
+                             net_depth=2, net_width=32)
+        losses = tr.train_steps(2, shadows=False)
+        assert np.all(np.isfinite(np.asarray(losses)))

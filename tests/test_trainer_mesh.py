@@ -32,3 +32,33 @@ def test_trainer_runs_on_mesh(scene, tmp_path):
     assert stats["steps"] == 6
     leaves = jax.tree_util.tree_leaves(tr.params)
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+
+def test_weak_scaling_loss_trajectory(scene, tmp_path):
+    """Same seed, same global batch: the 8-device mesh run must follow the
+    single-device loss trajectory (GSPMD psum vs local sum only differs by
+    fp reduction order)."""
+    import json
+    import os
+
+    def run(mesh, name):
+        cfg = TrainConfig(root_dir=scene["root_dir"], img_dir=scene["img_dir"],
+                          logs_dir=str(tmp_path), exp_name=name,
+                          batch_size=128, max_train_steps=8, n_samples=16,
+                          net_depth=2, net_width=32, occ_enabled=False,
+                          val_freq=10**9, steps_per_call=4, seed=3)
+        tr = Trainer(cfg, mesh=mesh)
+        tr.run(log_every=1)
+        losses = {}
+        with open(os.path.join(tr.log_dir, "metrics.jsonl")) as f:
+            for line in f:
+                d = json.loads(line)
+                if d["tag"] == "train/loss":
+                    losses[d["step"]] = d["value"]
+        return losses
+
+    single = run(None, "ws_single")
+    mesh8 = run(make_mesh(n_data=8), "ws_mesh8")
+    assert set(single) == set(mesh8) and len(single) >= 2
+    for s in single:
+        np.testing.assert_allclose(mesh8[s], single[s], rtol=2e-3, atol=1e-5)
