@@ -41,6 +41,18 @@ def get_file_id(path):
     return os.path.splitext(os.path.basename(path))[0]
 
 
+def alt_bounds(d):
+    """(min_alt, max_alt) from the metadata dict. Real DFC2019/IARPA jsons
+    carry explicit min_alt/max_alt; some exports omit them, in which case
+    the RPC's own altitude validity range (alt_offset +- alt_scale) is the
+    defined bound of the camera model and is used as the fallback."""
+    if "min_alt" in d and "max_alt" in d:
+        return float(d["min_alt"]), float(d["max_alt"])
+    rpc = d["rpc"]
+    off, sc = float(rpc["alt_offset"]), float(rpc["alt_scale"])
+    return off - sc, off + sc
+
+
 def scaling_params(v):
     """Scale/offset mapping a vector's range onto [-1, 1] (sat_utils.py:32-39)."""
     vec = np.asarray(v).ravel()
@@ -145,8 +157,11 @@ class SatelliteScene:
         self.utm_zonestring = utm_zonestring_from_lonlat(rpc_d["lon_offset"], rpc_d["lat_offset"])
 
     def _split_files(self, name):
+        """Roster file -> list of json basenames. Tolerates real-world split
+        files: CRLF line endings, stray whitespace, blank lines."""
         with open(os.path.join(self.root_dir, name)) as f:
-            return [p for p in f.read().split("\n") if ".json" in p]
+            lines = [p.strip() for p in f.read().split("\n")]
+        return [p for p in lines if ".json" in p]
 
     def _init_scaling_params(self, loc_path):
         """8 corner rays per image over every json in the dir
@@ -159,7 +174,8 @@ class SatelliteScene:
             rpc = RPCModel(d["rpc"]).rescaled(1.0 / self.img_downscale)
             cols = np.array(2 * [0, w - 1, w - 1, 0], np.float64)
             rows = np.array(2 * [0, 0, h - 1, h - 1], np.float64)
-            all_rays.append(cast_rays(cols, rows, rpc, d["min_alt"], d["max_alt"], utm=self.utm))
+            min_alt, max_alt = alt_bounds(d)
+            all_rays.append(cast_rays(cols, rows, rpc, min_alt, max_alt, utm=self.utm))
         rays = np.concatenate(all_rays, 0).astype(np.float64)
         near = rays[:, :3]
         far = rays[:, :3] + rays[:, 7:8] * rays[:, 3:6]
@@ -223,9 +239,19 @@ class SatelliteDataset:
         d = read_json(json_path)
         img_p = os.path.join(self.img_dir, d["img"])
         img_id = get_file_id(d["img"])
-        rgbs = load_rgb_image(img_p, self.img_downscale).reshape(-1, 3)
+        img = load_rgb_image(img_p, self.img_downscale)
         h = int(d["height"] // self.img_downscale)
         w = int(d["width"] // self.img_downscale)
+        if img.shape[:2] != (h, w):
+            # real crops are occasionally a pixel off vs their json metadata
+            # (rounding at export); rays are cast from the json dims, so the
+            # raster is cropped/padded to agree instead of silently
+            # misaligning the (rays, rgbs) pairing downstream
+            ph, pw = max(h - img.shape[0], 0), max(w - img.shape[1], 0)
+            if ph or pw:
+                img = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge")
+            img = img[:h, :w]
+        rgbs = img.reshape(-1, 3)
         rpc = RPCModel(d["rpc"]).rescaled(1.0 / self.img_downscale)
 
         cache_path = self._cache_path(img_id)
@@ -238,8 +264,9 @@ class SatelliteDataset:
                 raw = cached
         if raw is None:
             cols, rows = np.meshgrid(np.arange(w), np.arange(h))
+            min_alt, max_alt = alt_bounds(d)
             raw = cast_rays(cols.ravel(), rows.ravel(), rpc,
-                            d["min_alt"], d["max_alt"], utm=self.utm)
+                            min_alt, max_alt, utm=self.utm)
             if cache_path:
                 os.makedirs(os.path.dirname(cache_path), exist_ok=True)
                 np.save(cache_path, raw)

@@ -22,27 +22,48 @@ def _resize_bicubic(img_hwc, h, w):
 def load_rgb_image(img_path, downscale_factor=1):
     """Load a .tif/.png image as float (h, w, 3) in [0, 1].
 
-    Reference: datasets/satellite.py:152-172 (`load_rgb_geotiff`).
+    Reference: datasets/satellite.py:152-172 (`load_rgb_geotiff`), hardened
+    for real-metadata quirks the reference crashes or saturates on:
+    - integer rasters with values above 1 scale by their dtype range
+      (uint8 -> /255, identical to the reference; uint16 WorldView crops ->
+      /65535 instead of the reference's clip-to-white); binary 0/1 masks
+      pass through untouched either way;
+    - multispectral rasters (>3 bands) keep the first 3 bands;
+    - nodata values (NaN or the file's declared nodata) map to 0.
     """
     p = str(img_path)
+    nodata = None
     if p.endswith(".tif") or p.endswith(".tiff"):
-        from eonerf_code_tpu.io.geotiff import read_geotiff
+        from eonerf_code_tpu.io.geotiff import GeoTiffFile
 
-        img = read_geotiff(p).transpose(1, 2, 0).astype(np.float64)
-        if img.shape[2] == 1:
-            img = np.tile(img, (1, 1, 3))
+        f = GeoTiffFile(p)
+        raw = f.read()
+        nodata = f.nodata
+        img = raw.transpose(1, 2, 0)
     elif p.endswith(".png"):
         from PIL import Image
 
         img = np.asarray(Image.open(p))
         if img.ndim == 2:
             img = img[:, :, None]
-        img = np.tile(img[:, :, :1], (1, 1, 3)) if img.shape[2] == 1 else img[:, :, :3]
-        img = img.astype(np.float64)
     else:
         raise ValueError(f"unknown image extension: {p}")
 
-    img = img / 255.0 if img.max() > 1.1 else img
+    int_max = (float(np.iinfo(img.dtype).max)
+               if np.issubdtype(img.dtype, np.integer) else None)
+    img = img.astype(np.float64)
+    if nodata is not None and not np.isnan(nodata):
+        img = np.where(img == nodata, np.nan, img)
+    if img.shape[2] == 1:
+        img = np.tile(img, (1, 1, 3))
+    elif img.shape[2] == 2:
+        img = np.tile(img[:, :, :1], (1, 1, 3))
+    else:
+        img = img[:, :, :3]
+
+    if np.nanmax(img) > 1.1:  # reference heuristic; keeps binary 0/1 masks
+        img = img / (int_max if int_max is not None and int_max > 1 else 255.0)
+    img = np.nan_to_num(img, nan=0.0)
     img = np.clip(img, 0, 1)
     if downscale_factor > 1:
         h, w = img.shape[:2]

@@ -1,0 +1,158 @@
+"""Real-data readiness: the loader against adversarial metadata the
+synthetic generator cannot produce by construction (VERDICT round-1 item 9).
+
+Fixtures reproduce recorded real-world format quirks of DFC2019/IARPA-style
+exports: uint16 multispectral GeoTIFFs with nodata, binary uint8 masks,
+CRLF/blank-line split rosters, jsons without min_alt/max_alt, rasters a
+pixel off their json dims, and large pixel grids through the native RPC
+path."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from eonerf_code_tpu.data.satellite import (
+    SatelliteDataset,
+    alt_bounds,
+    cast_rays,
+)
+from eonerf_code_tpu.data.synthetic import SyntheticScene, SyntheticSceneSpec, generate_scene
+from eonerf_code_tpu.geo import RPCModel
+from eonerf_code_tpu.io.geotiff import Affine, write_geotiff
+from eonerf_code_tpu.io.image import load_rgb_image
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("realmeta_scene"))
+    spec = SyntheticSceneSpec(n_views=3, n_test_views=1, img_size=32)
+    info = generate_scene(out, spec)
+    info["spec"] = spec
+    return info
+
+
+class TestRasterQuirks:
+    def test_uint16_multiband_with_nodata(self, tmp_path):
+        """11-bit WorldView values in a uint16 container, 4 bands, nodata=0:
+        must scale to [0,1] by the dtype range (not clip to white) and map
+        nodata to 0 with no NaNs."""
+        rng = np.random.default_rng(0)
+        arr = rng.integers(1, 2047, size=(4, 16, 16)).astype(np.uint16)
+        arr[:, :4, :4] = 0  # nodata corner
+        p = str(tmp_path / "wv3.tif")
+        write_geotiff(p, arr, nodata=0.0)
+        img = load_rgb_image(p)
+        assert img.shape == (16, 16, 3)
+        assert np.isfinite(img).all()
+        assert img.max() <= 2047 / 65535 + 1e-6  # dtype-range scaling
+        assert img.max() > 0.01                  # not clipped to zero
+        np.testing.assert_array_equal(img[:4, :4], 0.0)
+
+    def test_binary_uint8_mask_passthrough(self, tmp_path):
+        """0/1 uint8 masks (shadow priors) must NOT be rescaled — the
+        reference's max>1.1 heuristic keeps them and so do we."""
+        m = np.zeros((1, 8, 8), np.uint8)
+        m[0, :, 4:] = 1
+        p = str(tmp_path / "mask.tif")
+        write_geotiff(p, m)
+        img = load_rgb_image(p)
+        assert set(np.unique(img)) == {0.0, 1.0}
+
+    def test_nan_nodata_float_raster(self, tmp_path):
+        arr = np.full((1, 8, 8), 0.5, np.float32)
+        arr[0, 0, 0] = np.nan
+        p = str(tmp_path / "f.tif")
+        write_geotiff(p, arr, nodata=float("nan"))
+        img = load_rgb_image(p)
+        assert np.isfinite(img).all()
+        assert img[0, 0, 0] == 0.0
+
+
+class TestMetadataQuirks:
+    def test_crlf_and_blank_lines_in_split(self, scene_dir, tmp_path):
+        """train.txt exported from Windows tooling: CRLF endings, trailing
+        blank lines, stray spaces."""
+        root = scene_dir["root_dir"]
+        with open(os.path.join(root, "train.txt")) as f:
+            names = [p for p in f.read().split("\n") if ".json" in p]
+        mangled = "\r\n".join(f"  {n} " for n in names) + "\r\n\r\n"
+        import shutil
+
+        root2 = str(tmp_path / "scene")
+        shutil.copytree(root, root2)
+        with open(os.path.join(root2, "train.txt"), "w") as f:
+            f.write(mangled)
+        loc = os.path.join(root2, "scene.loc_utm")
+        if os.path.exists(loc):
+            os.remove(loc)
+        ds = SatelliteDataset(root2, scene_dir["img_dir"], split="train")
+        assert len(ds.json_files) == len(names)
+        assert ds.all_rays.shape[1] == 11
+
+    def test_missing_alt_bounds_falls_back_to_rpc_range(self, scene_dir):
+        root = scene_dir["root_dir"]
+        name = scene_dir["names"][0]
+        with open(os.path.join(root, name + ".json")) as f:
+            d = json.load(f)
+        lo, hi = alt_bounds(d)
+        assert (lo, hi) == (float(d["min_alt"]), float(d["max_alt"]))
+        d2 = {k: v for k, v in d.items() if k not in ("min_alt", "max_alt")}
+        lo2, hi2 = alt_bounds(d2)
+        rpc = d["rpc"]
+        assert lo2 == pytest.approx(rpc["alt_offset"] - rpc["alt_scale"])
+        assert hi2 == pytest.approx(rpc["alt_offset"] + rpc["alt_scale"])
+        # and rays can actually be cast from the fallback bounds
+        r = cast_rays([1.0, 2.0], [1.0, 2.0], RPCModel(rpc), lo2, hi2)
+        assert np.isfinite(r).all()
+
+    def test_raster_json_size_mismatch(self, scene_dir, tmp_path):
+        """A raster one row/col off its json height/width must still produce
+        an aligned (rays, rgbs) pairing."""
+        import shutil
+
+        root = scene_dir["root_dir"]
+        root2 = str(tmp_path / "scene")
+        shutil.copytree(root, root2)
+        img_dir2 = str(tmp_path / "imgs")
+        shutil.copytree(scene_dir["img_dir"], img_dir2)
+        name = scene_dir["names"][0]
+        img = load_rgb_image(os.path.join(img_dir2, name + ".tif"))
+        bigger = np.pad(img, ((0, 1), (0, 1), (0, 0)), mode="edge")
+        write_geotiff(os.path.join(img_dir2, name + ".tif"),
+                      bigger.transpose(2, 0, 1).astype(np.float32))
+        ds = SatelliteDataset(root2, img_dir2, split="train")
+        n = ds.all_img_shapes.prod(axis=1).sum()
+        assert ds.all_rays.shape[0] == n
+        assert ds.all_rgbs.shape[0] == n
+
+        # one pixel SMALLER than the json dims: edge-padded back
+        smaller = img[:-1, :-1]
+        write_geotiff(os.path.join(img_dir2, name + ".tif"),
+                      smaller.transpose(2, 0, 1).astype(np.float32))
+        ds = SatelliteDataset(root2, img_dir2, split="train")
+        assert ds.all_rgbs.shape[0] == ds.all_rays.shape[0]
+
+
+class TestNativeAtScale:
+    def test_native_rpc_large_grid_matches_python(self, scene_dir):
+        """>4096-px-wide pixel grids through the C++ RPC path (the size real
+        WorldView crops reach) agree with the python path."""
+        from eonerf_code_tpu import native
+
+        if not native.available():
+            pytest.skip("native library not built")
+        root = scene_dir["root_dir"]
+        with open(os.path.join(root, scene_dir["names"][0] + ".json")) as f:
+            d = json.load(f)
+        rpc = RPCModel(d["rpc"])
+        n = 5000 * 50  # 250k points, wider than 4096 in one dimension
+        rng = np.random.default_rng(1)
+        cols = rng.uniform(0, 5000, n)
+        rows = rng.uniform(0, 50, n)
+        alts = rng.uniform(d["min_alt"], d["max_alt"], n)
+        lon_n, lat_n = native.rpc_localize(rpc, cols, rows, alts)
+        lon_p, lat_p = rpc.localization(cols, rows, alts)
+        np.testing.assert_allclose(lon_n, lon_p, atol=1e-9)
+        np.testing.assert_allclose(lat_n, lat_p, atol=1e-9)
