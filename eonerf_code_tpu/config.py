@@ -63,13 +63,18 @@ class TrainConfig:
     first_shadow_step: Optional[int] = None  # step-based overrides of the
     first_beta_step: Optional[int] = None    # epoch gates (small scenes)
 
-    # occupancy grid (maintained for parity; sampler does not consume it)
+    # occupancy grid (maintained for parity; sampler does not consume it
+    # unless occ_tighten is on)
     n_grid: int = 128
     occ_update_every: int = 50
     occ_enabled: bool = True
     occ_max_cells: Optional[int] = 262144  # cells probed per update (None =
                                            # all; full 128^3 costs ~16 train
                                            # steps of density queries)
+    occ_tighten: bool = False            # concentrate camera samples on each
+                                         # ray's occupied span (the grid
+                                         # exploitation the reference omits)
+    occ_tighten_start_step: int = 2000   # warmup before trusting the grid
 
     # priors
     init_dsm_path: Optional[str] = None
@@ -88,9 +93,13 @@ class TrainConfig:
 
     # parallelism / backend
     data_axis: int = 1                   # devices on the ray-batch mesh axis
-    use_pallas: bool = False             # fused Pallas field kernels (opt-in;
-                                         # XLA already runs this workload at
-                                         # ~75% of matmul peak on v5e)
+    use_pallas: Optional[bool] = None    # fused Pallas field kernels.
+                                         # None = auto: ON for bfloat16 on an
+                                         # accelerator backend, single-chip
+                                         # (v5e: 81k vs 63k rays/s at bs 8192
+                                         # and batch-flat, where XLA's grad
+                                         # step is HBM-bound and anti-scales).
+                                         # Explicit True/False overrides.
 
     def __post_init__(self):
         if self.model == "eo-nerf":

@@ -71,3 +71,30 @@ class OccupancyGrid:
         cs = self.cell_size()
         ijk = jnp.clip(((xyz - self.aabb_min) / cs).astype(jnp.int32), 0, res - 1)
         return self.binaries[ijk[..., 0], ijk[..., 1], ijk[..., 2]]
+
+    def ray_span(self, origins, dirs, near, far, n_probes=64, margin=2.0):
+        """Per-ray tightened sample range [t_lo, t_hi] covering the occupied
+        cells along each ray (the grid exploitation the reference leaves on
+        the table — its sampler ignores the grid it maintains,
+        train_eonerf.py:112-119 / sat_rendering.py:234,257).
+
+        Static-shape ray walk: ``n_probes`` fixed query points per ray on
+        [near, far]; the span is [first occupied, last occupied] expanded by
+        ``margin`` probe spacings (conservative against grid discretization).
+        Rays that hit no occupied cell fall back to the full [near, far].
+
+        origins/dirs: (R, 3); near/far: (R,). Returns (t_lo, t_hi), each (R,).
+        """
+        near = near.reshape(-1)
+        far = jnp.broadcast_to(jnp.asarray(far, near.dtype), near.shape).reshape(-1)
+        dt = (far - near) / n_probes
+        ts = near[:, None] + (jnp.arange(n_probes, dtype=near.dtype) + 0.5) * dt[:, None]
+        pos = origins[:, None, :] + dirs[:, None, :] * ts[..., None]
+        inside = jnp.all((pos > self.aabb_min) & (pos < self.aabb_max), axis=-1)
+        occ = self.query(pos) & inside
+        any_occ = jnp.any(occ, axis=-1)
+        t_lo = jnp.min(jnp.where(occ, ts, jnp.inf), axis=-1) - margin * dt
+        t_hi = jnp.max(jnp.where(occ, ts, -jnp.inf), axis=-1) + margin * dt
+        t_lo = jnp.where(any_occ, jnp.maximum(t_lo, near), near)
+        t_hi = jnp.where(any_occ, jnp.minimum(t_hi, far), far)
+        return t_lo, t_hi

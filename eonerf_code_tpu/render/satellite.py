@@ -51,6 +51,13 @@ class RenderConfig:
     inf_delta: float = 1e10
     compute_entropy: bool = False  # InfoNeRF ray entropy (the reference
                                    # computes then discards it; off = ones)
+    occ_tighten: bool = False     # concentrate camera samples on the
+                                  # occupied [t_lo, t_hi] from the occupancy
+                                  # grid (needs occ_grid; the reference
+                                  # maintains its grid but never samples
+                                  # from it)
+    occ_probes: int = 64          # static probes per ray for the span walk
+    occ_margin: float = 2.0       # span expansion in probe spacings
     nadir_diagnostics: bool = False  # opacity above/below the surface along
                                      # vertical probes (sat_rendering.py:
                                      # 146-174, disabled by default there too)
@@ -82,12 +89,21 @@ def _nadir_opacity_diagnostics(field, params, key, origins, cfg):
     return jnp.stack(outs, axis=-1)  # (R, 2)
 
 
-def _camera_samples(field, params, o, d, near, key, cfg: RenderConfig):
+def _camera_samples(field, params, o, d, near, key, cfg: RenderConfig,
+                    occ_grid=None):
     """Camera-ray z construction: stratified base samples plus optional
     hierarchical fine samples from a coarse sigma-only pass (the reference's
-    dead --n_importance, implemented). Returns (z_mid, delta, pos, mask)."""
+    dead --n_importance, implemented). With ``occ_tighten`` and a grid, the
+    per-ray range is first tightened to the occupied span (fallback: full
+    range). Returns (z_mid, delta, pos, mask)."""
     k_cam, k_fine = jax.random.split(key)
-    z_vals = stratified_z_vals(k_cam, near, near + cfg.ray_span, cfg.n_samples,
+    if occ_grid is not None and cfg.occ_tighten:
+        t_lo, t_hi = occ_grid.ray_span(o, d, near, near + cfg.ray_span,
+                                       n_probes=cfg.occ_probes,
+                                       margin=cfg.occ_margin)
+    else:
+        t_lo, t_hi = near, near + cfg.ray_span
+    z_vals = stratified_z_vals(k_cam, t_lo, t_hi, cfg.n_samples,
                                perturb=cfg.perturb)
     # zero-valid-sample fallback (sat_rendering.py:259-262): rays whose
     # samples all fall outside the cube are re-sampled from the DEFAULT near
@@ -137,8 +153,12 @@ def render_rays(field, params, rays: SatRays, key, cfg: RenderConfig,
     near = rays.t_near
 
     # ---- camera pass ----
-    z_mid, delta, pos, mask = _camera_samples(field, params, o, d, near, k_cam, cfg)
-    if occ_grid is not None:
+    z_mid, delta, pos, mask = _camera_samples(field, params, o, d, near, k_cam,
+                                              cfg, occ_grid=occ_grid)
+    if occ_grid is not None and not cfg.occ_tighten:
+        # empty-space masking mode (mutually exclusive with tightening: a
+        # tightened span already concentrates samples in occupied space, and
+        # masking there would zero the fallback rays' density)
         mask = mask & occ_grid.query(pos)
     delta_cam = set_last_valid(delta, mask, cfg.inf_delta)
 
@@ -207,13 +227,16 @@ def render_rays(field, params, rays: SatRays, key, cfg: RenderConfig,
     }
 
 
-def render_depth(field, params, rays: SatRays, key, cfg: RenderConfig):
+def render_depth(field, params, rays: SatRays, key, cfg: RenderConfig,
+                 occ_grid=None):
     """Depth-only fast path (reference: sat_rendering.py:227-249 /
     eonerf.py:172-194) — sigma-only MLP passes, no heads. Honors bundle
-    adjustment and hierarchical sampling like the full path."""
+    adjustment, hierarchical sampling and occupancy tightening like the
+    full path."""
     o = _corrected_origins(field, params, rays)
     z_mid, delta, pos, mask = _camera_samples(
-        field, params, o, rays.viewdirs, rays.t_near, key, cfg)
+        field, params, o, rays.viewdirs, rays.t_near, key, cfg,
+        occ_grid=occ_grid)
     delta_cam = set_last_valid(delta, mask, cfg.inf_delta)
     sigma = field.apply(params, pos, method="density")
     weights, _, _ = render_weights(sigma, delta_cam, mask)
@@ -244,7 +267,8 @@ def render_image(field, params, rays: SatRays, key, cfg: RenderConfig,
     keys = jax.random.split(key, n_blocks)
 
     if depth_only:
-        fn = lambda args: render_depth(field, params, args[0], args[1], cfg)  # noqa: E731
+        fn = lambda args: render_depth(field, params, args[0], args[1], cfg,  # noqa: E731
+                                       occ_grid=occ_grid)
     else:
         fn = lambda args: render_rays(field, params, args[0], args[1], cfg,  # noqa: E731
                                       shadows, occ_grid=occ_grid)

@@ -62,9 +62,10 @@ def make_loss_fn(field, rcfg: RenderConfig, has_depth=False, has_conf=False,
     """Per-batch loss with the reference's schedule semantics
     (train_eonerf.py:139-155)."""
 
-    def loss_fn(params, batch, key, w_depth, shadows, use_beta):
+    def loss_fn(params, batch, key, w_depth, shadows, use_beta, occ_grid=None):
         rays = satrays_from_tensor(batch["rays"], batch["ts"])
-        out = render_rays(field, params, rays, key, rcfg, shadows)
+        out = render_rays(field, params, rays, key, rcfg, shadows,
+                          occ_grid=occ_grid)
         if use_beta:
             loss, loss_dict = M.uncertainty_aware_loss(
                 batch["rgbs"], out["rgb"], out["beta"])
@@ -93,9 +94,10 @@ def make_train_step(field, optimizer, rcfg: RenderConfig, cfg: TrainConfig,
     variants over the training run (epochs <2 and >=2)."""
     loss_fn = make_loss_fn(field, rcfg, has_depth, has_conf, has_shadow)
 
-    def step_fn(params, opt_state, batch, key, w_depth, shadows, use_beta):
+    def step_fn(params, opt_state, batch, key, w_depth, shadows, use_beta,
+                occ_grid=None):
         (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch, key, w_depth, shadows, use_beta)
+            params, batch, key, w_depth, shadows, use_beta, occ_grid)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss_dict
@@ -117,13 +119,13 @@ def make_megastep(field, optimizer, rcfg: RenderConfig, cfg: TrainConfig,
     loss_fn = make_loss_fn(field, rcfg, has_depth, has_conf, has_shadow)
 
     def mega_fn(params, opt_state, device_data, idx_block, keys, w_depth,
-                shadows, use_beta):
+                shadows, use_beta, occ_grid=None):
         def body(carry, xs):
             params, opt_state = carry
             idx, key = xs
             batch = {k: v[idx] for k, v in device_data.items()}
             (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch, key, w_depth, shadows, use_beta)
+                params, batch, key, w_depth, shadows, use_beta, occ_grid)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss_dict
@@ -216,13 +218,25 @@ class Trainer:
         self.occ_grid = OccupancyGrid.create(cfg.n_grid) if cfg.occ_enabled else None
         self.render_step_size = 2.0 / cfg.n_samples
         self.rcfg = RenderConfig(n_samples=cfg.n_samples, sc_n_samples=cfg.n_samples,
-                                 n_importance=cfg.n_importance)
+                                 n_importance=cfg.n_importance,
+                                 occ_tighten=cfg.occ_tighten)
 
         render_field = self.field
-        if cfg.use_pallas:
+        if cfg.use_pallas is None:
+            # auto: the fused kernels win on accelerator backends at bf16
+            # (batch-flat 81k vs anti-scaling 63k rays/s on v5e); GSPMD can't
+            # partition the custom call, so mesh runs stay on the flax path;
+            # the kernels are specialized to the reference 8x256 architecture
+            use_pallas = (cfg.compute_dtype == "bfloat16"
+                          and jax.default_backend() != "cpu" and mesh is None
+                          and cfg.net_depth == 8 and cfg.net_width == 256
+                          and not cfg.rpc_correction)
+        else:
+            use_pallas = cfg.use_pallas
+        if use_pallas:
             from eonerf_code_tpu.models.fused import PallasField
 
-            render_field = PallasField(self.field)
+            render_field = PallasField(self.field, vmem_limit_mb=32)
         self.render_field = render_field
         prior_flags = dict(has_depth="depth_prior" in data,
                            has_conf="conf_prior" in data,
@@ -296,10 +310,21 @@ class Trainer:
             nxt = step if (r == 0 and step > 0) else step + (freq - r)
             k = min(k, nxt - step + 1)
         # step-based loss-gate transitions may not happen mid-block
-        for gate in (cfg.first_shadow_step, cfg.first_beta_step):
+        occ_gate = (cfg.occ_tighten_start_step
+                    if (cfg.occ_tighten and self.occ_grid is not None) else None)
+        for gate in (cfg.first_shadow_step, cfg.first_beta_step, occ_gate):
             if gate is not None and step < gate:
                 k = min(k, gate - step)
         return max(k, 1)
+
+    def _occ_for_sampling(self, step=None):
+        """The grid handed to the sampler: None until tightening is enabled
+        and warmed up (fallback-by-construction before that)."""
+        step = self.step if step is None else step
+        if (self.cfg.occ_tighten and self.occ_grid is not None
+                and step >= self.cfg.occ_tighten_start_step):
+            return self.occ_grid
+        return None
 
     def run(self, max_steps=None, log_every=50):
         """Train to max_steps. A checkpoint is saved even when the loop dies
@@ -345,7 +370,8 @@ class Trainer:
                 keys = jax.random.split(skey, k)
                 self.params, self.opt_state, loss_dict = self.megastep(
                     self.params, self.opt_state, self.device_data, idx_block,
-                    keys, jnp.float32(w_depth), shadows, use_beta)
+                    keys, jnp.float32(w_depth), shadows, use_beta,
+                    self._occ_for_sampling())
                 rays_done += k * cfg.batch_size
                 i += k
                 self.step += k
@@ -384,7 +410,8 @@ class Trainer:
         key = key or jax.random.PRNGKey(0)
         rays = satrays_from_tensor(jnp.asarray(sample["rays"]), jnp.asarray(sample["ts"]))
         return render_image(self.render_field, self.params, rays, key, self.rcfg,
-                            shadows=shadows, chunk=self.cfg.chunk, depth_only=depth_only)
+                            shadows=shadows, chunk=self.cfg.chunk, depth_only=depth_only,
+                            occ_grid=self._occ_for_sampling())
 
     def validate(self):
         cfg = self.cfg

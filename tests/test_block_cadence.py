@@ -22,9 +22,12 @@ class FakeTrainer:
         self.cfg.occ_update_every = occ_every or 50
         self.cfg.first_shadow_step = gates[0] if gates else None
         self.cfg.first_beta_step = gates[1] if len(gates) > 1 else None
+        self.cfg.occ_tighten = False
+        self.cfg.occ_tighten_start_step = 2000
         self.val_freq = val_freq
         self.save_freq = save_freq
         self._occ_update = object() if occ_every else None
+        self.occ_grid = object() if occ_every else None
 
 
 def simulate(trainer, steps_per_epoch, max_steps):

@@ -1,0 +1,119 @@
+"""Occupancy-informed per-ray sample tightening (VERDICT round-1 item 3):
+the grid the reference maintains but never samples from
+(train_eonerf.py:112-119; sampler commented at sat_rendering.py:234,257)
+here tightens each camera ray's [t_lo, t_hi] to its occupied span."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eonerf_code_tpu.ops.occupancy import OccupancyGrid
+from eonerf_code_tpu.render.satellite import RenderConfig, render_rays
+from tests.test_render import _SlabField, make_rays
+
+
+def grid_with_slab(res=32, z_lo=-0.2, z_hi=0.1):
+    """Grid occupied only inside the horizontal slab z in [z_lo, z_hi]."""
+    g = OccupancyGrid.create(res)
+    centers = (jnp.arange(res) + 0.5) * g.cell_size() + g.aabb_min
+    occ_z = (centers >= z_lo) & (centers <= z_hi)
+    binaries = jnp.broadcast_to(occ_z[None, None, :], (res, res, res))
+    return g.replace(binaries=binaries)
+
+
+class TestRaySpan:
+    def test_span_covers_occupied_slab(self):
+        g = grid_with_slab(z_lo=-0.2, z_hi=0.1)
+        n = 16
+        o = np.zeros((n, 3), np.float32)
+        o[:, 0] = np.linspace(-0.8, 0.8, n)
+        o[:, 2] = 0.999
+        d = np.tile(np.array([0.0, 0.0, -1.0], np.float32), (n, 1))
+        near = np.zeros(n, np.float32)
+        t_lo, t_hi = g.ray_span(jnp.asarray(o), jnp.asarray(d),
+                                jnp.asarray(near), 2.0)
+        # nadir ray from z=0.999: slab top z=0.1 -> t=0.899, bottom -> t=1.199
+        dt = 2.0 / 64
+        assert np.all(np.asarray(t_lo) <= 0.899 + 1e-3)
+        assert np.all(np.asarray(t_lo) >= 0.899 - 3.5 * dt)  # probe + margin
+        assert np.all(np.asarray(t_hi) >= 1.199 - 1e-3)
+        assert np.all(np.asarray(t_hi) <= 1.199 + 3.5 * dt)
+
+    def test_empty_grid_falls_back_to_full_range(self):
+        g = OccupancyGrid.create(16)  # all-empty
+        o = jnp.asarray(np.array([[0.0, 0.0, 0.999]], np.float32))
+        d = jnp.asarray(np.array([[0.0, 0.0, -1.0]], np.float32))
+        t_lo, t_hi = g.ray_span(o, d, jnp.zeros(1), 2.0)
+        assert float(t_lo[0]) == 0.0
+        assert float(t_hi[0]) == 2.0
+
+    def test_fully_occupied_grid_keeps_full_range(self):
+        g = OccupancyGrid.create(16)
+        g = g.replace(binaries=jnp.ones((16, 16, 16), bool))
+        o = jnp.asarray(np.array([[0.0, 0.0, 0.999]], np.float32))
+        d = jnp.asarray(np.array([[0.0, 0.0, -1.0]], np.float32))
+        t_lo, t_hi = g.ray_span(o, d, jnp.zeros(1), 2.0)
+        assert float(t_lo[0]) == 0.0
+        assert abs(float(t_hi[0]) - 2.0) < 1e-6
+
+
+class TestTightenedRendering:
+    def test_fully_occupied_grid_is_bitwise_identical(self, rng):
+        """A fully occupied grid tightens to the full range -> the render is
+        bit-identical to no grid at all (same keys, same z construction)."""
+        field = _SlabField(sigma0=200.0, z_top=0.0)
+        rays = make_rays(rng, 16)
+        cfg = RenderConfig(n_samples=32, sc_n_samples=32, occ_tighten=True)
+        g = OccupancyGrid.create(16)
+        g = g.replace(binaries=jnp.ones((16, 16, 16), bool))
+        out_t = render_rays(field, None, rays, jax.random.PRNGKey(1), cfg,
+                            shadows=False, occ_grid=g)
+        cfg0 = RenderConfig(n_samples=32, sc_n_samples=32)
+        out_0 = render_rays(field, None, rays, jax.random.PRNGKey(1), cfg0,
+                            shadows=False)
+        np.testing.assert_array_equal(np.asarray(out_t["depth"]),
+                                      np.asarray(out_0["depth"]))
+        np.testing.assert_array_equal(np.asarray(out_t["rgb"]),
+                                      np.asarray(out_0["rgb"]))
+
+    def test_tightening_cuts_depth_error_at_low_sample_count(self, rng):
+        """The A/B that justifies the feature: on a slab scene with a correct
+        grid, 16 tightened samples resolve the surface better than 16
+        uniform samples over the full [0, 2] span."""
+        field = _SlabField(sigma0=400.0, z_top=0.0)
+        rays = make_rays(rng, 64)
+        true_depth = 0.999  # origin z .999, surface z=0, nadir
+
+        errs = {}
+        for tighten in (False, True):
+            cfg = RenderConfig(n_samples=16, sc_n_samples=16,
+                               occ_tighten=tighten)
+            g = grid_with_slab(z_lo=-0.25, z_hi=0.05) if tighten else None
+            out = render_rays(field, None, rays, jax.random.PRNGKey(2), cfg,
+                              shadows=False, occ_grid=g)
+            errs[tighten] = float(np.mean(np.abs(
+                np.asarray(out["depth"])[:, 0] - true_depth)))
+        assert errs[True] < 0.5 * errs[False], errs
+
+    def test_trainer_wiring_warmup_gate(self, tmp_path, rng):
+        """Trainer hands the sampler no grid before occ_tighten_start_step
+        and the real grid after."""
+        from eonerf_code_tpu.config import preset
+        from eonerf_code_tpu.train.loop import Trainer
+        from eonerf_code_tpu.data.synthetic import SyntheticSceneSpec, generate_scene
+
+        info = generate_scene(str(tmp_path / "scene"),
+                              SyntheticSceneSpec(n_views=2, n_test_views=1,
+                                                 img_size=24))
+        cfg = preset("synthetic", root_dir=info["root_dir"],
+                     img_dir=info["img_dir"], logs_dir=str(tmp_path / "logs"),
+                     max_train_steps=4, batch_size=64, n_samples=8,
+                     net_width=32, occ_enabled=True, n_grid=16,
+                     occ_tighten=True, occ_tighten_start_step=2,
+                     steps_per_call=4)
+        tr = Trainer(cfg)
+        assert tr._occ_for_sampling(step=0) is None
+        assert tr._occ_for_sampling(step=2) is tr.occ_grid
+        # the block scheduler may not cross the start step mid-block
+        assert tr._block_size(0, 100, 100) <= 2
+        tr.run(max_steps=4)  # smoke: the tightened megastep compiles + runs
