@@ -28,7 +28,9 @@ A100_BASELINE_RAYS_PER_SEC = 10_000.0
 def build_step(n_images=10, n_samples=128, compute_dtype="bfloat16", scan_steps=20):
     """Returns (megastep, params, opt_state): `scan_steps` full train steps
     chained by lax.scan inside one jit dispatch — the framework's real
-    training operating mode (train/loop.py make_megastep)."""
+    training operating mode (train/loop.py make_megastep). Uses the trainer's
+    production default field backend (fused Pallas kernels at bf16 on an
+    accelerator; the XLA grad step is HBM-bound and anti-scales)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -39,10 +41,16 @@ def build_step(n_images=10, n_samples=128, compute_dtype="bfloat16", scan_steps=
     from eonerf_code_tpu.utils import metrics as M
 
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
-    field = EONerfField(n_images=n_images, compute_dtype=dtype)
-    params = field.init(jax.random.PRNGKey(0), jnp.zeros((2, 3, 3)),
-                        jnp.zeros((2, 3)), jnp.zeros((2,), jnp.int32),
-                        method="init_all")
+    base_field = EONerfField(n_images=n_images, compute_dtype=dtype)
+    params = base_field.init(jax.random.PRNGKey(0), jnp.zeros((2, 3, 3)),
+                             jnp.zeros((2, 3)), jnp.zeros((2,), jnp.int32),
+                             method="init_all")
+    if compute_dtype == "bfloat16" and jax.default_backend() != "cpu":
+        from eonerf_code_tpu.models.fused import PallasField
+
+        field = PallasField(base_field)
+    else:
+        field = base_field
     optimizer = optax.adam(5e-4)
     opt_state = optimizer.init(params)
     rcfg = RenderConfig(n_samples=n_samples, sc_n_samples=n_samples)
@@ -118,7 +126,7 @@ def main():
 
     results = {}
     train_step, params, opt_state = build_step()
-    for bs in (1024, 4096, 8192):
+    for bs in (4096, 8192, 16384):
         try:
             results[bs] = time_batch(train_step, params, opt_state, bs)
         except Exception:  # OOM on larger batches is informative, not fatal

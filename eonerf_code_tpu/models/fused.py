@@ -19,13 +19,18 @@ from eonerf_code_tpu.ops.pallas.fused_field import (
 
 
 class PallasField:
-    def __init__(self, field, tile=1024, bwd_tile=512, interpret=False):
+    def __init__(self, field, tile=2048, bwd_tile=1024, interpret=False,
+                 vmem_limit_mb=32):
+        # defaults = the measured v5e optimum (scripts/scan_pallas_tiles.py);
+        # bwd_tile=1024 needs the raised scoped-vmem limit
         self.field = field
         self.beta_min = field.beta_min
         self.rpc_correction = field.rpc_correction
         dtype = field.compute_dtype
-        self._fused_field = make_fused_field(dtype, tile, bwd_tile, interpret)
-        self._fused_density = make_fused_density(dtype, tile, bwd_tile, interpret)
+        self._fused_field = make_fused_field(dtype, tile, bwd_tile, interpret,
+                                             vmem_limit_mb=vmem_limit_mb)
+        self._fused_density = make_fused_density(dtype, tile, bwd_tile, interpret,
+                                                 vmem_limit_mb=vmem_limit_mb)
 
     def apply(self, params, *args, method=None):
         if method in ("radiometric", "ray_offset", "ambient"):

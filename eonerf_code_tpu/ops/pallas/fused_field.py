@@ -2,9 +2,12 @@
 
 The training hot loop evaluates ~10^5..10^6 sample points per step through
 the 8x256 trunk + heads (SURVEY §3.2). Left to XLA, every layer's (N, 256)
-activation round-trips HBM (arithmetic intensity ~32 flop/byte vs the ~240
-needed to saturate the MXU). These kernels keep ALL weights and the running
-activations in VMEM and stream only points in / outputs out:
+activation round-trips HBM, and the BACKWARD additionally re-reads every
+saved activation — measured on-chip (scripts/profile_step.py) the XLA grad
+step runs at ~56 TFLOP/s and anti-scales with batch size because the step
+is HBM-bound (~50 GB of activation traffic per bs=8192 step). These kernels
+remove that wall: ALL weights and the running activations stay in VMEM and
+only points stream in / outputs + gradients stream out (~0.2 GB per step).
 
 - `make_fused_field()(weights, pos, emb)` -> (sigma, albedo, t_s, t_beta):
   the per-sample heads of EONerfField.__call__ (the per-ray ambient head
@@ -14,21 +17,24 @@ activations in VMEM and stream only points in / outputs out:
 Both are `jax.custom_vjp` ops whose BACKWARD is also one Pallas kernel per
 tile: the forward is recomputed in VMEM (flash-style rematerialization) and
 gradients for the inputs and every weight are produced in a single pass;
-weight gradients accumulate across the sequential TPU grid into
-constant-index output blocks.
+weight gradients accumulate in float32 across the sequential TPU grid into
+constant-index output blocks (VMEM-resident until the final write-back).
+
+v2 (round 2): weight matrices are pre-cast to the compute dtype OUTSIDE the
+kernel (one tiny XLA cast per step) and live in VMEM at bfloat16; trunk
+activations and the whole cotangent chain stay in the compute dtype (as in
+the flax/XLA mixed-precision backward); relu masks are produced from the
+f32 pre-activations during recompute. The decisive change was LAYOUT, not
+residency: the positional encoding is built/backpropagated as a matmul
+against a constant (3, 30) frequency-pattern matrix instead of ten 3-lane
+concats / twenty 3-wide strided slices — cross-lane shuffles were costing
+~45% of the kernel (45.6k -> 81k rays/s for the full bs=8192 train step on
+v5e). Biases and all weight-gradient accumulation stay f32.
 
 Numerics: matmuls run in the requested compute dtype (bfloat16 by default)
 with float32 accumulation — matching the flax path's mixed-precision
-recipe; parity tests pin forward outputs and gradients against flax.
-
-Performance status (v5e, measured via the remote-attached chip): XLA
-already executes this workload at ~75% of the device's achievable matmul
-throughput (8.8 ms for a bs=1024 x 127-sample grad step vs the ~6.6 ms
-compute bound), so these kernels currently do NOT beat the XLA path (the
-backward's 36 VMEM-resident gradient accumulators force small tiles).
-They are kept as a correct, fully tested opt-in backend
-(TrainConfig.use_pallas) and the substrate for future variants (bf16
-weight residency, split input-grad/weight-grad backward).
+recipe; parity tests pin forward outputs and gradients against flax at f32
+bit level (tests/test_pallas_field.py).
 """
 
 import functools
@@ -107,34 +113,66 @@ def density_subset(w: FieldWeights):
     return [*w.trunk_w, *w.trunk_b, w.sigma_w, w.sigma_b]
 
 
+def _is_bias(x):
+    return x.ndim == 2 and x.shape[0] == 1
+
+
+def cast_matrices(flat, dtype):
+    """Weight MATRICES to the compute dtype (VMEM residency); biases stay
+    f32 (they are added to f32 matmul accumulators)."""
+    return [x if _is_bias(x) else x.astype(dtype) for x in flat]
+
+
 # ---------------------------------------------------------------------------
 # shared math (used identically in forward and backward-recompute)
 # ---------------------------------------------------------------------------
 
+def _pe_pattern():
+    """Constant (3, 30) matrix B with B[j, 3i+j] = 2^i: xb = x @ B
+    reproduces the degree-major frequency layout as ONE tiny matmul instead
+    of a ten-piece 3-lane concat (lane shuffles are the enemy on the VPU).
+    Built from traced iotas — Pallas kernels cannot capture host constants."""
+    k = jax.lax.broadcasted_iota(jnp.int32, (3, 3 * POS_DEG), 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, (3, 3 * POS_DEG), 0)
+    pow2 = jnp.exp2((k // 3).astype(jnp.float32))
+    return jnp.where(k % 3 == j, pow2, 0.0)
+
+
+def _pe_parts(x):
+    """(xb, sin(xb), cos(xb)) for f32 x — shared by _pe and the PE vjp."""
+    xb = jax.lax.dot_general(x, _pe_pattern(), (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    return xb, jnp.sin(xb), jnp.cos(xb)
+
+
 def _pe(x):
     """[x | sin(x 2^i) | cos(x 2^i)], degree-major (encoders.py layout)."""
-    xb = jnp.concatenate([x * (2.0**i) for i in range(POS_DEG)], axis=-1)
-    return jnp.concatenate([x, jnp.sin(xb), jnp.cos(xb)], axis=-1)
+    _, s, c = _pe_parts(x)
+    return jnp.concatenate([x, s, c], axis=-1)
 
 
-def _mm(a, w, b, dtype):
-    out = jax.lax.dot_general(a.astype(dtype), w.astype(dtype),
-                              (((1,), (0,)), ((), ())),
+def _mm(a, w, b=None):
+    """a @ w (+ b) with f32 accumulation; a and w are already in the
+    compute dtype."""
+    out = jax.lax.dot_general(a, w, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     return out if b is None else out + b.astype(jnp.float32)
 
 
 def _mm_t(g, w, dtype):
-    """g @ w.T with f32 accumulation."""
-    return jax.lax.dot_general(g.astype(dtype), w.astype(dtype),
-                               (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    """g @ w.T, output in the compute dtype (the cotangent chain stays in
+    dtype end-to-end — matches the flax/XLA mixed-precision backward, which
+    also carries bf16 cotangents; per-layer f32<->bf16 relayouts are pure
+    VPU shuffle waste); Mosaic requires a 32-bit matmul accumulator, so the
+    output is rounded to dtype right at the matmul."""
+    return jax.lax.dot_general(g.astype(dtype), w, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32).astype(dtype)
 
 
-def _outer(a, g, dtype):
-    """a.T @ g — weight gradient contribution."""
-    return jax.lax.dot_general(a.astype(dtype), g.astype(dtype),
-                               (((0,), (0,)), ((), ())),
+def _outer(a, g_cd):
+    """a.T @ g — weight-gradient contribution (both in compute dtype,
+    f32 accumulation)."""
+    return jax.lax.dot_general(a, g_cd, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
@@ -142,33 +180,48 @@ def _softplus(x):
     return jnp.logaddexp(x, 0.0)
 
 
-def _trunk_fwd(pe, w: FieldWeights, dtype):
-    """Returns the list of post-relu activations h0..h7."""
-    acts = []
-    h = jnp.maximum(_mm(pe, w.trunk_w[0], w.trunk_b[0], dtype), 0.0)
-    acts.append(h)
+def _relu_mask(pre, dtype):
+    """relu derivative as a 0/1 multiplier in the compute dtype, computed
+    from the f32 pre-activation at recompute time (no bf16 cmpf on TPU, and
+    no extra relayout)."""
+    return (pre > 0).astype(dtype)
+
+
+def _trunk_fwd(pe_cd, w: FieldWeights, dtype, with_masks=False):
+    """Post-relu activations h0..h7 in the compute dtype; with_masks also
+    returns the relu-derivative multipliers for the backward."""
+    acts, masks = [], []
+    pre = _mm(pe_cd, w.trunk_w[0], w.trunk_b[0])
+    acts.append(jnp.maximum(pre, 0.0).astype(dtype))
+    if with_masks:
+        masks.append(_relu_mask(pre, dtype))
     for i in range(1, 8):
-        inp = jnp.concatenate([h, pe], axis=-1) if i == 5 else h
-        h = jnp.maximum(_mm(inp, w.trunk_w[i], w.trunk_b[i], dtype), 0.0)
-        acts.append(h)
-    return acts
+        inp = jnp.concatenate([acts[-1], pe_cd], axis=-1) if i == 5 else acts[-1]
+        pre = _mm(inp, w.trunk_w[i], w.trunk_b[i])
+        acts.append(jnp.maximum(pre, 0.0).astype(dtype))
+        if with_masks:
+            masks.append(_relu_mask(pre, dtype))
+    return (acts, masks) if with_masks else acts
 
 
-def _trunk_bwd(pe, acts, g_h, w: FieldWeights, dtype, dws, dbs):
-    """Backprop through the trunk. Fills dws/dbs lists (index i) and returns
-    d_pe."""
-    g_pe = jnp.zeros_like(pe)
+def _trunk_bwd(pe_cd, acts, masks, g_h, w: FieldWeights, dtype, dws, dbs):
+    """Backprop through the trunk. g_h arrives in the compute dtype and the
+    chain stays there; weight/bias gradients accumulate f32. Returns d_pe
+    (compute dtype)."""
+    g_pe = jnp.zeros(pe_cd.shape, dtype)
     for i in range(7, -1, -1):
-        g_pre = jnp.where(acts[i] > 0, g_h, 0.0)
+        g_pre = g_h * masks[i]
         if i == 0:
-            inp = pe
+            inp = pe_cd
         elif i == 5:
-            inp = jnp.concatenate([acts[4], pe], axis=-1)
+            inp = jnp.concatenate([acts[4], pe_cd], axis=-1)
         else:
             inp = acts[i - 1]
-        dws[i] = _outer(inp, g_pre, dtype)
-        dbs[i] = jnp.sum(g_pre, axis=0, keepdims=True)
-        g_in = _mm_t(g_pre, w.trunk_w[i], dtype)
+        dws[i] = _outer(inp, g_pre)
+        dbs[i] = jnp.sum(g_pre, axis=0, keepdims=True, dtype=jnp.float32)
+        g_in = jax.lax.dot_general(g_pre, w.trunk_w[i],
+                                   (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32).astype(dtype)
         if i == 5:
             g_h = g_in[:, :256]
             g_pe = g_pe + g_in[:, 256:]
@@ -179,16 +232,17 @@ def _trunk_bwd(pe, acts, g_h, w: FieldWeights, dtype, dws, dbs):
     return g_pe
 
 
-def _pe_bwd(x, g_pe):
-    """d(pe)/d(x): identity block + sin/cos chain rules."""
-    g_x = g_pe[:, :3]
-    for i in range(POS_DEG):
-        s = 2.0**i
-        xb = x * s
-        g_sin = g_pe[:, 3 + 3 * i: 6 + 3 * i]
-        g_cos = g_pe[:, 3 + 3 * POS_DEG + 3 * i: 6 + 3 * POS_DEG + 3 * i]
-        g_x = g_x + s * (jnp.cos(xb) * g_sin - jnp.sin(xb) * g_cos)
-    return g_x
+def _pe_bwd(x, g_pe, sin_xb=None, cos_xb=None):
+    """d(pe)/d(x): identity block + sin/cos chain rules, vectorized as
+    (cos(xb)*g_sin - sin(xb)*g_cos) @ B^T — one 30-wide elementwise pass and
+    a tiny matmul instead of twenty 3-wide strided lane slices."""
+    if sin_xb is None:
+        _, sin_xb, cos_xb = _pe_parts(x)
+    k = 3 * POS_DEG
+    g_freq = cos_xb * g_pe[:, 3:3 + k] - sin_xb * g_pe[:, 3 + k:3 + 2 * k]
+    return g_pe[:, :3] + jax.lax.dot_general(
+        g_freq, _pe_pattern(), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -198,17 +252,17 @@ def _pe_bwd(x, g_pe):
 def _field_fwd_kernel(dtype, pos_ref, emb_ref, *rest):
     weight_refs, out_ref = rest[:N_WEIGHTS], rest[N_WEIGHTS]
     w = unflatten_weights([r[:] for r in weight_refs])
-    pe = _pe(pos_ref[:].astype(jnp.float32))
+    pe = _pe(pos_ref[:].astype(jnp.float32)).astype(dtype)
     h = _trunk_fwd(pe, w, dtype)[-1]
-    sigma = _softplus(_mm(h, w.sigma_w, w.sigma_b, dtype))
-    bott = _mm(h, w.bott_w, w.bott_b, dtype)
-    ah = jnp.maximum(_mm(bott, w.alb_w0, w.alb_b0, dtype), 0.0)
-    albedo = jax.nn.sigmoid(_mm(ah, w.alb_w1, w.alb_b1, dtype))
-    t = jnp.concatenate([bott, emb_ref[:].astype(jnp.float32)], axis=-1)
+    sigma = _softplus(_mm(h, w.sigma_w, w.sigma_b))
+    bott = _mm(h, w.bott_w, w.bott_b).astype(dtype)
+    ah = jnp.maximum(_mm(bott, w.alb_w0, w.alb_b0), 0.0).astype(dtype)
+    albedo = jax.nn.sigmoid(_mm(ah, w.alb_w1, w.alb_b1))
+    t = jnp.concatenate([bott, emb_ref[:].astype(dtype)], axis=-1)
     for i in range(4):
-        t = jnp.maximum(_mm(t, w.tr_w[i], w.tr_b[i], dtype), 0.0)
-    ts = jax.nn.sigmoid(_mm(t, w.ts_w, w.ts_b, dtype))
-    tb = _softplus(_mm(t, w.tb_w, w.tb_b, dtype))
+        t = jnp.maximum(_mm(t, w.tr_w[i], w.tr_b[i]), 0.0).astype(dtype)
+    ts = jax.nn.sigmoid(_mm(t, w.ts_w, w.ts_b))
+    tb = _softplus(_mm(t, w.tb_w, w.tb_b))
     pad = jnp.zeros_like(ts)
     out_ref[:] = jnp.concatenate([sigma, albedo, ts, tb, pad, pad], axis=-1)
 
@@ -220,26 +274,31 @@ def _field_bwd_kernel(dtype, pos_ref, emb_ref, g_ref, *rest):
     dw_refs = out_refs[2:]
     w = unflatten_weights([r[:] for r in weight_refs])
 
-    # ---- recompute forward, keeping activations ----
+    # ---- recompute forward, keeping activations + relu masks (dtype) ----
     x = pos_ref[:].astype(jnp.float32)
-    emb = emb_ref[:].astype(jnp.float32)
-    pe = _pe(x)
-    acts = _trunk_fwd(pe, w, dtype)
+    emb = emb_ref[:].astype(dtype)
+    _, sxb, cxb = _pe_parts(x)
+    pe = jnp.concatenate([x, sxb, cxb], axis=-1).astype(dtype)
+    acts, masks = _trunk_fwd(pe, w, dtype, with_masks=True)
     h = acts[-1]
-    sig_pre = _mm(h, w.sigma_w, w.sigma_b, dtype)
-    bott = _mm(h, w.bott_w, w.bott_b, dtype)
-    ah = jnp.maximum(_mm(bott, w.alb_w0, w.alb_b0, dtype), 0.0)
-    albedo = jax.nn.sigmoid(_mm(ah, w.alb_w1, w.alb_b1, dtype))
+    sig_pre = _mm(h, w.sigma_w, w.sigma_b)
+    bott = _mm(h, w.bott_w, w.bott_b).astype(dtype)
+    ah_pre = _mm(bott, w.alb_w0, w.alb_b0)
+    ah = jnp.maximum(ah_pre, 0.0).astype(dtype)
+    m_ah = _relu_mask(ah_pre, dtype)
+    albedo = jax.nn.sigmoid(_mm(ah, w.alb_w1, w.alb_b1))
     t_in = jnp.concatenate([bott, emb], axis=-1)
-    t_acts = []
+    t_acts, t_masks = [], []
     t = t_in
     for i in range(4):
-        t = jnp.maximum(_mm(t, w.tr_w[i], w.tr_b[i], dtype), 0.0)
+        pre = _mm(t, w.tr_w[i], w.tr_b[i])
+        t = jnp.maximum(pre, 0.0).astype(dtype)
         t_acts.append(t)
-    ts = jax.nn.sigmoid(_mm(t, w.ts_w, w.ts_b, dtype))
-    tb_pre = _mm(t, w.tb_w, w.tb_b, dtype)
+        t_masks.append(_relu_mask(pre, dtype))
+    ts = jax.nn.sigmoid(_mm(t, w.ts_w, w.ts_b))
+    tb_pre = _mm(t, w.tb_w, w.tb_b)
 
-    # ---- backward ----
+    # ---- backward: narrow head grads in f32, wide chain in dtype ----
     g = g_ref[:].astype(jnp.float32)
     g_sigma, g_alb, g_ts, g_tb = g[:, 0:1], g[:, 1:4], g[:, 4:5], g[:, 5:6]
 
@@ -248,42 +307,45 @@ def _field_bwd_kernel(dtype, pos_ref, emb_ref, g_ref, *rest):
     g_tb_pre = g_tb * jax.nn.sigmoid(tb_pre)
 
     grads = {}
-    grads["ts_w"] = _outer(t_acts[3], g_ts_pre, dtype)
+    grads["ts_w"] = _outer(t_acts[3], g_ts_pre.astype(dtype))
     grads["ts_b"] = jnp.sum(g_ts_pre, axis=0, keepdims=True)
-    grads["tb_w"] = _outer(t_acts[3], g_tb_pre, dtype)
+    grads["tb_w"] = _outer(t_acts[3], g_tb_pre.astype(dtype))
     grads["tb_b"] = jnp.sum(g_tb_pre, axis=0, keepdims=True)
 
     g_t = _mm_t(g_ts_pre, w.ts_w, dtype) + _mm_t(g_tb_pre, w.tb_w, dtype)
     tr_dw = [None] * 4
     tr_db = [None] * 4
     for i in range(3, -1, -1):
-        g_pre = jnp.where(t_acts[i] > 0, g_t, 0.0)
+        g_pre = g_t * t_masks[i]
         inp = t_in if i == 0 else t_acts[i - 1]
-        tr_dw[i] = _outer(inp, g_pre, dtype)
-        tr_db[i] = jnp.sum(g_pre, axis=0, keepdims=True)
-        g_t = _mm_t(g_pre, w.tr_w[i], dtype)
+        tr_dw[i] = _outer(inp, g_pre)
+        tr_db[i] = jnp.sum(g_pre, axis=0, keepdims=True, dtype=jnp.float32)
+        g_t = jax.lax.dot_general(g_pre, w.tr_w[i], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32).astype(dtype)
     g_bott_t = g_t[:, :256]
-    g_emb = g_t[:, 256:260]
+    g_emb = g_t[:, 256:260].astype(jnp.float32)
 
     g_alb_pre = g_alb * albedo * (1.0 - albedo)
-    grads["alb_w1"] = _outer(ah, g_alb_pre, dtype)
+    grads["alb_w1"] = _outer(ah, g_alb_pre.astype(dtype))
     grads["alb_b1"] = jnp.sum(g_alb_pre, axis=0, keepdims=True)
-    g_ah = jnp.where(ah > 0, _mm_t(g_alb_pre, w.alb_w1, dtype), 0.0)
-    grads["alb_w0"] = _outer(bott, g_ah, dtype)
-    grads["alb_b0"] = jnp.sum(g_ah, axis=0, keepdims=True)
-    g_bott = g_bott_t + _mm_t(g_ah, w.alb_w0, dtype)
+    g_ah = m_ah * _mm_t(g_alb_pre, w.alb_w1, dtype)
+    grads["alb_w0"] = _outer(bott, g_ah)
+    grads["alb_b0"] = jnp.sum(g_ah, axis=0, keepdims=True, dtype=jnp.float32)
+    g_bott = g_bott_t + jax.lax.dot_general(
+        g_ah, w.alb_w0, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dtype)
 
-    grads["bott_w"] = _outer(h, g_bott, dtype)
-    grads["bott_b"] = jnp.sum(g_bott, axis=0, keepdims=True)
-    grads["sigma_w"] = _outer(h, g_sig_pre, dtype)
+    grads["bott_w"] = _outer(h, g_bott)
+    grads["bott_b"] = jnp.sum(g_bott, axis=0, keepdims=True, dtype=jnp.float32)
+    grads["sigma_w"] = _outer(h, g_sig_pre.astype(dtype))
     grads["sigma_b"] = jnp.sum(g_sig_pre, axis=0, keepdims=True)
     g_h = _mm_t(g_bott, w.bott_w, dtype) + _mm_t(g_sig_pre, w.sigma_w, dtype)
 
     trunk_dw = [None] * 8
     trunk_db = [None] * 8
-    g_pe = _trunk_bwd(pe, acts, g_h, w, dtype, trunk_dw, trunk_db)
+    g_pe = _trunk_bwd(pe, acts, masks, g_h, w, dtype, trunk_dw, trunk_db)
 
-    dpos_ref[:] = _pe_bwd(x, g_pe)
+    dpos_ref[:] = _pe_bwd(x, g_pe, sxb, cxb)
     demb_ref[:] = g_emb
 
     contribs = (trunk_dw + trunk_db
@@ -308,9 +370,9 @@ def _density_fwd_kernel(dtype, pos_ref, *rest):
     tb = [r[:] for r in weight_refs[8:16]]
     sw, sb = weight_refs[16][:], weight_refs[17][:]
     w = FieldWeights(tuple(tw), tuple(tb), sw, sb, *([None] * 12))
-    pe = _pe(pos_ref[:].astype(jnp.float32))
+    pe = _pe(pos_ref[:].astype(jnp.float32)).astype(dtype)
     h = _trunk_fwd(pe, w, dtype)[-1]
-    sigma = _softplus(_mm(h, sw, sb, dtype))
+    sigma = _softplus(_mm(h, sw, sb))
     out_ref[:] = sigma
 
 
@@ -325,21 +387,22 @@ def _density_bwd_kernel(dtype, pos_ref, g_ref, *rest):
     w = FieldWeights(tuple(tw), tuple(tb), sw, sb, *([None] * 12))
 
     x = pos_ref[:].astype(jnp.float32)
-    pe = _pe(x)
-    acts = _trunk_fwd(pe, w, dtype)
+    _, sxb, cxb = _pe_parts(x)
+    pe = jnp.concatenate([x, sxb, cxb], axis=-1).astype(dtype)
+    acts, masks = _trunk_fwd(pe, w, dtype, with_masks=True)
     h = acts[-1]
-    sig_pre = _mm(h, sw, sb, dtype)
+    sig_pre = _mm(h, sw, sb)
 
     g = g_ref[:].astype(jnp.float32)
     g_sig_pre = g * jax.nn.sigmoid(sig_pre)
-    dsw = _outer(h, g_sig_pre, dtype)
+    dsw = _outer(h, g_sig_pre.astype(dtype))
     dsb = jnp.sum(g_sig_pre, axis=0, keepdims=True)
     g_h = _mm_t(g_sig_pre, sw, dtype)
 
     trunk_dw = [None] * 8
     trunk_db = [None] * 8
-    g_pe = _trunk_bwd(pe, acts, g_h, w, dtype, trunk_dw, trunk_db)
-    dpos_ref[:] = _pe_bwd(x, g_pe)
+    g_pe = _trunk_bwd(pe, acts, masks, g_h, w, dtype, trunk_dw, trunk_db)
+    dpos_ref[:] = _pe_bwd(x, g_pe, sxb, cxb)
 
     contribs = trunk_dw + trunk_db + [dsw, dsb]
     first = pl.program_id(0) == 0
@@ -374,22 +437,28 @@ def _pad_rows(x, tile):
     return x
 
 
-def make_fused_field(compute_dtype=jnp.bfloat16, tile=1024, bwd_tile=512,
-                     interpret=False):
+def _cparams(vmem_limit_mb):
+    if vmem_limit_mb is None:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=int(vmem_limit_mb * 2**20))
+
+
+def make_fused_field(compute_dtype=jnp.bfloat16, tile=2048, bwd_tile=512,
+                     interpret=False, vmem_limit_mb=None):
     """Returns fused(weights: FieldWeights, pos (N,3), emb (N,4)) ->
     (sigma (N,), albedo (N,3), t_s (N,1), t_beta (N,1)) with a Pallas
     forward AND backward.
 
-    VMEM budget: forward holds the weights (~2.8 MB f32) plus one tile of
-    activations; backward additionally holds all trunk activations and the
-    weight-gradient accumulators, hence the smaller default bwd_tile."""
+    VMEM budget (bf16): weights ~1.3 MB + one tile of activations; backward
+    additionally holds the trunk activations for the tile (~4 MB at 1024)
+    and the f32 weight-gradient accumulators (~2.6 MB)."""
 
     def _forward(weights, pos, emb):
         n = pos.shape[0]
         pos_p = _pad_rows(pos.astype(jnp.float32), tile)
         emb_p = _pad_rows(emb.astype(jnp.float32), tile)
         npad = pos_p.shape[0]
-        flat = flatten_weights(weights)
+        flat = cast_matrices(flatten_weights(weights), compute_dtype)
         out = pl.pallas_call(
             functools.partial(_field_fwd_kernel, compute_dtype),
             out_shape=jax.ShapeDtypeStruct((npad, 8), jnp.float32),
@@ -397,6 +466,7 @@ def make_fused_field(compute_dtype=jnp.bfloat16, tile=1024, bwd_tile=512,
             in_specs=[_tile_spec(tile, 3), _tile_spec(tile, 4)]
                      + [_const_spec(wt.shape) for wt in flat],
             out_specs=_tile_spec(tile, 8),
+            compiler_params=_cparams(vmem_limit_mb),
             interpret=interpret,
         )(pos_p, emb_p, *flat)
         return out[:n]
@@ -407,7 +477,8 @@ def make_fused_field(compute_dtype=jnp.bfloat16, tile=1024, bwd_tile=512,
         emb_p = _pad_rows(emb.astype(jnp.float32), bwd_tile)
         g_p = _pad_rows(g.astype(jnp.float32), bwd_tile)
         npad = pos_p.shape[0]
-        flat = flatten_weights(weights)
+        flat_f32 = flatten_weights(weights)
+        flat = cast_matrices(flat_f32, compute_dtype)
         out_shapes = ([jax.ShapeDtypeStruct((npad, 3), jnp.float32),
                        jax.ShapeDtypeStruct((npad, 4), jnp.float32)]
                       + [jax.ShapeDtypeStruct(wt.shape, jnp.float32) for wt in flat])
@@ -421,12 +492,13 @@ def make_fused_field(compute_dtype=jnp.bfloat16, tile=1024, bwd_tile=512,
                       _tile_spec(bwd_tile, 8)]
                      + [_const_spec(wt.shape) for wt in flat],
             out_specs=tuple(out_specs),
+            compiler_params=_cparams(vmem_limit_mb),
             interpret=interpret,
         )(pos_p, emb_p, g_p, *flat)
         d_pos = outs[0][:n]
         d_emb = outs[1][:n]
         d_weights = unflatten_weights([d.astype(wt.dtype)
-                                       for d, wt in zip(outs[2:], flat)])
+                                       for d, wt in zip(outs[2:], flat_f32)])
         return d_weights, d_pos, d_emb
 
     @jax.custom_vjp
@@ -448,8 +520,8 @@ def make_fused_field(compute_dtype=jnp.bfloat16, tile=1024, bwd_tile=512,
     return fused
 
 
-def make_fused_density(compute_dtype=jnp.bfloat16, tile=1024, bwd_tile=512,
-                       interpret=False):
+def make_fused_density(compute_dtype=jnp.bfloat16, tile=2048, bwd_tile=512,
+                       interpret=False, vmem_limit_mb=None):
     """Returns fused(weights: FieldWeights, pos (N,3)) -> sigma (N,) with a
     Pallas forward AND backward (gradients flow to pos and the trunk/sigma
     weights; head weights get zeros)."""
@@ -458,13 +530,14 @@ def make_fused_density(compute_dtype=jnp.bfloat16, tile=1024, bwd_tile=512,
         n = pos.shape[0]
         pos_p = _pad_rows(pos.astype(jnp.float32), tile)
         npad = pos_p.shape[0]
-        flat = density_subset(weights)
+        flat = cast_matrices(density_subset(weights), compute_dtype)
         out = pl.pallas_call(
             functools.partial(_density_fwd_kernel, compute_dtype),
             out_shape=jax.ShapeDtypeStruct((npad, 1), jnp.float32),
             grid=(npad // tile,),
             in_specs=[_tile_spec(tile, 3)] + [_const_spec(wt.shape) for wt in flat],
             out_specs=_tile_spec(tile, 1),
+            compiler_params=_cparams(vmem_limit_mb),
             interpret=interpret,
         )(pos_p, *flat)
         return out[:n, 0]
@@ -474,7 +547,8 @@ def make_fused_density(compute_dtype=jnp.bfloat16, tile=1024, bwd_tile=512,
         pos_p = _pad_rows(pos.astype(jnp.float32), bwd_tile)
         g_p = _pad_rows(g.astype(jnp.float32).reshape(-1, 1), bwd_tile)
         npad = pos_p.shape[0]
-        flat = density_subset(weights)
+        flat_f32 = density_subset(weights)
+        flat = cast_matrices(flat_f32, compute_dtype)
         out_shapes = ([jax.ShapeDtypeStruct((npad, 3), jnp.float32)]
                       + [jax.ShapeDtypeStruct(wt.shape, jnp.float32) for wt in flat])
         out_specs = ([_tile_spec(bwd_tile, 3)] + [_const_spec(wt.shape) for wt in flat])
@@ -485,16 +559,17 @@ def make_fused_density(compute_dtype=jnp.bfloat16, tile=1024, bwd_tile=512,
             in_specs=[_tile_spec(bwd_tile, 3), _tile_spec(bwd_tile, 1)]
                      + [_const_spec(wt.shape) for wt in flat],
             out_specs=tuple(out_specs),
+            compiler_params=_cparams(vmem_limit_mb),
             interpret=interpret,
         )(pos_p, g_p, *flat)
         d_pos = outs[0][:n]
         d_flat = outs[1:]
         z = jnp.zeros_like
         dw = FieldWeights(
-            trunk_w=tuple(d.astype(w_.dtype) for d, w_ in zip(d_flat[0:8], flat[0:8])),
-            trunk_b=tuple(d.astype(w_.dtype) for d, w_ in zip(d_flat[8:16], flat[8:16])),
-            sigma_w=d_flat[16].astype(flat[16].dtype),
-            sigma_b=d_flat[17].astype(flat[17].dtype),
+            trunk_w=tuple(d.astype(w_.dtype) for d, w_ in zip(d_flat[0:8], flat_f32[0:8])),
+            trunk_b=tuple(d.astype(w_.dtype) for d, w_ in zip(d_flat[8:16], flat_f32[8:16])),
+            sigma_w=d_flat[16].astype(flat_f32[16].dtype),
+            sigma_b=d_flat[17].astype(flat_f32[17].dtype),
             bott_w=z(weights.bott_w), bott_b=z(weights.bott_b),
             alb_w0=z(weights.alb_w0), alb_b0=z(weights.alb_b0),
             alb_w1=z(weights.alb_w1), alb_b1=z(weights.alb_b1),
