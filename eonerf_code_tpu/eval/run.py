@@ -70,6 +70,23 @@ def load_run(run_dir, epoch_nb=None, n_images=None):
     return cfg, field, params
 
 
+def load_occ_grid(run_dir, cfg, epoch_nb=None):
+    """Restore the checkpointed occupancy grid when the run trained with
+    occ_tighten — eval must sample the same way training did."""
+    if not getattr(cfg, "occ_tighten", False):
+        return None
+    path = (os.path.join(run_dir, "ckpts", f"epoch={epoch_nb}")
+            if epoch_nb is not None else ckpt_lib.latest_checkpoint(run_dir))
+    restored = ckpt_lib.restore_checkpoint(path)
+    if "occ" not in restored:
+        return None
+    from eonerf_code_tpu.ops.occupancy import OccupancyGrid
+
+    grid = OccupancyGrid.create(cfg.n_grid)
+    return grid.replace(occs=jnp.asarray(restored["occ"]["occs"]),
+                        binaries=jnp.asarray(restored["occ"]["binaries"]))
+
+
 def save_outputs_to_images(dataset, sample, results, out_dir, suffix=""):
     """Write per-key rendered rasters + GT rgb + depth/DSM GeoTIFFs
     (reference: datasets/satellite.py:195-239)."""
@@ -155,7 +172,9 @@ def eval_eonerf(run_id, logs_dir, output_dir, epoch_nb=None, root_dir=None,
     dataset.json_files = [os.path.join(cfg.root_dir, p) for p in files]
     dataset.all_ids_img = list(range(len(files)))
 
-    rcfg = RenderConfig(n_samples=cfg.n_samples, sc_n_samples=cfg.n_samples)
+    rcfg = RenderConfig(n_samples=cfg.n_samples, sc_n_samples=cfg.n_samples,
+                        occ_tighten=getattr(cfg, "occ_tighten", False))
+    occ_grid = load_occ_grid(run_dir, cfg, epoch_nb)
     out_dir = os.path.join(output_dir, run_id)
     key = jax.random.PRNGKey(0)
 
@@ -169,7 +188,8 @@ def eval_eonerf(run_id, logs_dir, output_dir, epoch_nb=None, root_dir=None,
             img_downscale=cfg.img_downscale, pinhole=pinhole)
         rays = satrays_from_tensor(jnp.asarray(rays_np),
                                    jnp.zeros((rays_np.shape[0],), jnp.int32))
-        results = render_image(field, params, rays, key, rcfg, shadows=True, chunk=chunk)
+        results = render_image(field, params, rays, key, rcfg, shadows=True,
+                               chunk=chunk, occ_grid=occ_grid)
         sample = {"rays": rays_np, "rgbs": np.ones((rays_np.shape[0], 3), np.float32),
                   "src_id": src_id, "h": h, "w": w}
         save_outputs_to_images(dataset, sample, results, out_dir)
@@ -200,7 +220,8 @@ def eval_eonerf(run_id, logs_dir, output_dir, epoch_nb=None, root_dir=None,
     for i in range(len(dataset.json_files)):
         sample = dataset.get_val_sample(i)
         rays = satrays_from_tensor(jnp.asarray(sample["rays"]), jnp.asarray(sample["ts"]))
-        results = render_image(field, params, rays, key, rcfg, shadows=True, chunk=chunk)
+        results = render_image(field, params, rays, key, rcfg, shadows=True,
+                               chunk=chunk, occ_grid=occ_grid)
         rgbs = jnp.asarray(sample["rgbs"])
         loss, _ = M.uncertainty_aware_loss(rgbs, results["rgb"], results["beta"])
         psnr_ = M.psnr(results["rgb"], rgbs)

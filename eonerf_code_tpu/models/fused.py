@@ -20,17 +20,21 @@ from eonerf_code_tpu.ops.pallas.fused_field import (
 
 class PallasField:
     def __init__(self, field, tile=2048, bwd_tile=1024, interpret=False,
-                 vmem_limit_mb=32):
+                 vmem_limit_mb=32, mesh=None, data_axis="data"):
         # defaults = the measured v5e optimum (scripts/scan_pallas_tiles.py);
-        # bwd_tile=1024 needs the raised scoped-vmem limit
+        # bwd_tile=1024 needs the raised scoped-vmem limit. With `mesh` the
+        # kernels shard_map over `data_axis` (weights replicated, weight
+        # grads psum'd over ICI).
         self.field = field
         self.beta_min = field.beta_min
         self.rpc_correction = field.rpc_correction
         dtype = field.compute_dtype
         self._fused_field = make_fused_field(dtype, tile, bwd_tile, interpret,
-                                             vmem_limit_mb=vmem_limit_mb)
+                                             vmem_limit_mb=vmem_limit_mb,
+                                             mesh=mesh, data_axis=data_axis)
         self._fused_density = make_fused_density(dtype, tile, bwd_tile, interpret,
-                                                 vmem_limit_mb=vmem_limit_mb)
+                                                 vmem_limit_mb=vmem_limit_mb,
+                                                 mesh=mesh, data_axis=data_axis)
 
     def apply(self, params, *args, method=None):
         if method in ("radiometric", "ray_offset", "ambient"):

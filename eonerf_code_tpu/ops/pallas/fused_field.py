@@ -443,11 +443,53 @@ def _cparams(vmem_limit_mb):
     return pltpu.CompilerParams(vmem_limit_bytes=int(vmem_limit_mb * 2**20))
 
 
+def _shard_fwd(forward, mesh, axis, n_out=1):
+    """shard_map a kernel forward over the point axis (weights replicated)."""
+    from jax.sharding import PartitionSpec as P
+
+    def sharded(weights, *pts):
+        return jax.shard_map(
+            forward, mesh=mesh,
+            in_specs=(P(),) + (P(axis),) * len(pts),
+            out_specs=P(axis) if n_out == 1 else (P(axis),) * n_out,
+            check_vma=False)(weights, *pts)
+
+    return sharded
+
+
+def _shard_bwd(backward, mesh, axis, n_pt_grads):
+    """shard_map a kernel backward: per-shard weight grads are psum'd over
+    the point axis inside the map (they transpose a replicated input);
+    per-point grads stay sharded."""
+    from jax.sharding import PartitionSpec as P
+
+    def body(weights, *args):
+        out = backward(weights, *args)
+        dw, pt_grads = out[0], out[1:]
+        dw = jax.tree_util.tree_map(lambda x: jax.lax.psum(x, axis), dw)
+        return (dw, *pt_grads)
+
+    def sharded(weights, *args):
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(),) + (P(axis),) * len(args),
+            out_specs=(P(),) + (P(axis),) * n_pt_grads,
+            check_vma=False)(weights, *args)
+
+    return sharded
+
+
 def make_fused_field(compute_dtype=jnp.bfloat16, tile=2048, bwd_tile=512,
-                     interpret=False, vmem_limit_mb=None):
+                     interpret=False, vmem_limit_mb=None, mesh=None,
+                     data_axis="data"):
     """Returns fused(weights: FieldWeights, pos (N,3), emb (N,4)) ->
     (sigma (N,), albedo (N,3), t_s (N,1), t_beta (N,1)) with a Pallas
     forward AND backward.
+
+    With ``mesh``, the kernels are shard_map'ed over ``data_axis``: points
+    shard, weights replicate, and weight gradients psum over ICI — the
+    multi-chip data-parallel path (GSPMD cannot partition the custom call
+    itself). N must divide by the axis size.
 
     VMEM budget (bf16): weights ~1.3 MB + one tile of activations; backward
     additionally holds the trunk activations for the tile (~4 MB at 1024)
@@ -501,6 +543,10 @@ def make_fused_field(compute_dtype=jnp.bfloat16, tile=2048, bwd_tile=512,
                                        for d, wt in zip(outs[2:], flat_f32)])
         return d_weights, d_pos, d_emb
 
+    if mesh is not None:
+        _forward = _shard_fwd(_forward, mesh, data_axis)
+        _backward = _shard_bwd(_backward, mesh, data_axis, n_pt_grads=2)
+
     @jax.custom_vjp
     def fused(weights, pos, emb):
         out = _forward(weights, pos, emb)
@@ -521,10 +567,11 @@ def make_fused_field(compute_dtype=jnp.bfloat16, tile=2048, bwd_tile=512,
 
 
 def make_fused_density(compute_dtype=jnp.bfloat16, tile=2048, bwd_tile=512,
-                       interpret=False, vmem_limit_mb=None):
+                       interpret=False, vmem_limit_mb=None, mesh=None,
+                       data_axis="data"):
     """Returns fused(weights: FieldWeights, pos (N,3)) -> sigma (N,) with a
     Pallas forward AND backward (gradients flow to pos and the trunk/sigma
-    weights; head weights get zeros)."""
+    weights; head weights get zeros). ``mesh`` as in make_fused_field."""
 
     def _forward(weights, pos):
         n = pos.shape[0]
@@ -578,6 +625,10 @@ def make_fused_density(compute_dtype=jnp.bfloat16, tile=2048, bwd_tile=512,
             ts_w=z(weights.ts_w), ts_b=z(weights.ts_b),
             tb_w=z(weights.tb_w), tb_b=z(weights.tb_b))
         return dw, d_pos
+
+    if mesh is not None:
+        _forward = _shard_fwd(_forward, mesh, data_axis)
+        _backward = _shard_bwd(_backward, mesh, data_axis, n_pt_grads=1)
 
     @jax.custom_vjp
     def fused(weights, pos):

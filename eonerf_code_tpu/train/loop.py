@@ -224,11 +224,12 @@ class Trainer:
         render_field = self.field
         if cfg.use_pallas is None:
             # auto: the fused kernels win on accelerator backends at bf16
-            # (batch-flat 81k vs anti-scaling 63k rays/s on v5e); GSPMD can't
-            # partition the custom call, so mesh runs stay on the flax path;
-            # the kernels are specialized to the reference 8x256 architecture
+            # (batch-flat 81k vs anti-scaling 63k rays/s on v5e); mesh runs
+            # use the shard_map'ed kernels (points shard, weight grads psum
+            # over ICI). The kernels are specialized to the reference 8x256
+            # architecture.
             use_pallas = (cfg.compute_dtype == "bfloat16"
-                          and jax.default_backend() != "cpu" and mesh is None
+                          and jax.default_backend() != "cpu"
                           and cfg.net_depth == 8 and cfg.net_width == 256
                           and not cfg.rpc_correction)
         else:
@@ -236,7 +237,10 @@ class Trainer:
         if use_pallas:
             from eonerf_code_tpu.models.fused import PallasField
 
-            render_field = PallasField(self.field, vmem_limit_mb=32)
+            # interpret mode keeps an explicit use_pallas=True testable on
+            # the CPU backend (virtual multi-chip meshes included)
+            render_field = PallasField(self.field, mesh=mesh,
+                                       interpret=jax.default_backend() == "cpu")
         self.render_field = render_field
         prior_flags = dict(has_depth="depth_prior" in data,
                            has_conf="conf_prior" in data,

@@ -62,3 +62,21 @@ def test_weak_scaling_loss_trajectory(scene, tmp_path):
     assert set(single) == set(mesh8) and len(single) >= 2
     for s in single:
         np.testing.assert_allclose(mesh8[s], single[s], rtol=2e-3, atol=1e-5)
+
+
+def test_trainer_mesh_with_pallas_kernels(scene, tmp_path):
+    """Mesh + fused Pallas kernels (shard_map'ed, interpret on CPU): one
+    megastep block runs and produces finite params. Uses the full 8x256
+    architecture (the kernels are specialized to it)."""
+    mesh = make_mesh(n_data=8)
+    cfg = TrainConfig(root_dir=scene["root_dir"], img_dir=scene["img_dir"],
+                      logs_dir=str(tmp_path), exp_name="mesh_pallas",
+                      batch_size=64, max_train_steps=2, n_samples=8,
+                      occ_enabled=False, use_pallas=True,
+                      compute_dtype="bfloat16",
+                      val_freq=10**9, steps_per_call=2)
+    tr = Trainer(cfg, mesh=mesh)
+    stats = tr.run(log_every=1)
+    assert stats["steps"] == 2
+    leaves = jax.tree_util.tree_leaves(tr.params)
+    assert all(np.isfinite(np.asarray(x, np.float32)).all() for x in leaves)
