@@ -74,6 +74,8 @@ class TrainConfig:
     occ_tighten: bool = False            # concentrate camera samples on each
                                          # ray's occupied span (the grid
                                          # exploitation the reference omits)
+    occ_tighten_shadows: Optional[bool] = None  # same for shadow rays
+                                         # (None = follow occ_tighten)
     occ_tighten_start_step: int = 2000   # warmup before trusting the grid
 
     # priors

@@ -56,6 +56,10 @@ class RenderConfig:
                                   # grid (needs occ_grid; the reference
                                   # maintains its grid but never samples
                                   # from it)
+    occ_tighten_shadows: bool = False  # same tightening for the shadow rays
+                                  # (sound: the exit transmittance only
+                                  # accumulates where sigma can be nonzero,
+                                  # and the grid is conservative)
     occ_probes: int = 64          # static probes per ray for the span walk
     occ_margin: float = 2.0       # span expansion in probe spacings
     nadir_diagnostics: bool = False  # opacity above/below the surface along
@@ -63,9 +67,12 @@ class RenderConfig:
                                      # 146-174, disabled by default there too)
 
 
-def _sample_block(key, origins, viewdirs, near, n_samples, span, perturb, bound):
-    """Shared sampling: z values, positions, validity mask, deltas."""
-    z_vals = stratified_z_vals(key, near, near + span, n_samples, perturb=perturb)
+def _sample_block(key, origins, viewdirs, near, n_samples, span, perturb, bound,
+                  far=None):
+    """Shared sampling: z values, positions, validity mask, deltas.
+    ``far`` (per-ray) overrides near+span when given (tightened ranges)."""
+    far = near + span if far is None else far
+    z_vals = stratified_z_vals(key, near, far, n_samples, perturb=perturb)
     t_starts, t_ends, z_mid, delta = intervals_from_z(z_vals)
     pos = origins[:, None, :] + viewdirs[:, None, :] * z_mid[..., None]
     mask = cube_mask(pos, bound)
@@ -177,9 +184,19 @@ def render_rays(field, params, rays: SatRays, key, cfg: RenderConfig,
     if shadows:
         sc_o = o + depth[:, None] * d                       # expected surface point
         sc_d = -sun_d
+        sc_near = jnp.zeros_like(near)
+        if occ_grid is not None and cfg.occ_tighten_shadows:
+            # tightening the shadow march is transmittance-exact: sigma is
+            # zero outside occupied cells, so the exit transmittance over
+            # the tightened span equals the full-span value
+            sc_lo, sc_hi = occ_grid.ray_span(
+                jax.lax.stop_gradient(sc_o), sc_d, sc_near, cfg.ray_span,
+                n_probes=cfg.occ_probes, margin=cfg.occ_margin)
+        else:
+            sc_lo, sc_hi = sc_near, None
         sc_pos, _, sc_delta, sc_mask = _sample_block(
-            k_sc, sc_o, sc_d, jnp.zeros_like(near), cfg.sc_n_samples,
-            cfg.ray_span, cfg.perturb, cfg.cube_bound)
+            k_sc, sc_o, sc_d, sc_lo, cfg.sc_n_samples,
+            cfg.ray_span, cfg.perturb, cfg.cube_bound, far=sc_hi)
         sc_sigma = field.apply(params, sc_pos, method="density")
         geo_shadow = exit_transmittance(sc_sigma, sc_delta, sc_mask)[:, None]
         s = geo_shadow * t_s_acc

@@ -217,9 +217,12 @@ class Trainer:
 
         self.occ_grid = OccupancyGrid.create(cfg.n_grid) if cfg.occ_enabled else None
         self.render_step_size = 2.0 / cfg.n_samples
+        tighten_sc = (cfg.occ_tighten if cfg.occ_tighten_shadows is None
+                      else cfg.occ_tighten_shadows)
         self.rcfg = RenderConfig(n_samples=cfg.n_samples, sc_n_samples=cfg.n_samples,
                                  n_importance=cfg.n_importance,
-                                 occ_tighten=cfg.occ_tighten)
+                                 occ_tighten=cfg.occ_tighten,
+                                 occ_tighten_shadows=tighten_sc)
 
         render_field = self.field
         if cfg.use_pallas is None:

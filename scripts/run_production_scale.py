@@ -41,9 +41,10 @@ def main(workdir="/tmp/eonerf_prod", steps=20000, compute_dtype="bfloat16"):
         aoi_id=scene["aoi_id"], cache_dir=os.path.join(workdir, "cache"),
         batch_size=4096, max_train_steps=int(steps), n_samples=96,
         net_depth=8, net_width=256,
-        # occupancy-tightened sampling (round-2 A/B, 20k steps): MAE 0.354 m
-        # at 104.6k rays/s vs 0.352 m at ~70k for uniform-96 — same accuracy,
-        # ~1.5x step throughput (scripts/ab_occ_tighten.py)
+        # occupancy-tightened sampling, camera AND shadow rays (round-2 A/B,
+        # 20k steps): MAE 0.338 m at ~100k rays/s vs 0.352 m at ~70k for
+        # uniform-96 — better accuracy at ~1.5x step throughput
+        # (scripts/ab_occ_tighten.py)
         occ_enabled=True, occ_tighten=True, occ_tighten_start_step=2000,
         # lr_decay_steps=3000 is load-bearing: with slower decay the shadow
         # phase progressively deforms geometry (MAE 0.79 -> 1.6 m from 10k

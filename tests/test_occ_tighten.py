@@ -117,3 +117,47 @@ class TestTightenedRendering:
         # the block scheduler may not cross the start step mid-block
         assert tr._block_size(0, 100, 100) <= 2
         tr.run(max_steps=4)  # smoke: the tightened megastep compiles + runs
+
+
+class TestShadowTightening:
+    def test_full_grid_shadow_tightening_tracks_dense_reference(self, rng):
+        """Even a fully occupied grid tightens the shadow march to the
+        in-cube segment (shadow rays exit the cube early), concentrating
+        samples where transmittance can change — the result must be at
+        least as close to a dense reference as the uniform march."""
+        field = _SlabField(sigma0=200.0, z_top=0.0)
+        rays = make_rays(rng, 32)
+        g = OccupancyGrid.create(16)
+        g = g.replace(binaries=jnp.ones((16, 16, 16), bool))
+
+        def shadows(sc_n, tighten, grid):
+            cfg = RenderConfig(n_samples=128, sc_n_samples=sc_n,
+                               occ_tighten_shadows=tighten, perturb=False)
+            out = render_rays(field, None, rays, jax.random.PRNGKey(3), cfg,
+                              shadows=True, occ_grid=grid)
+            return np.asarray(out["geo_shadows"])[:, 0]
+
+        ref = shadows(512, False, None)
+        err_u = np.abs(shadows(32, False, None) - ref).mean()
+        err_t = np.abs(shadows(32, True, g) - ref).mean()
+        assert err_t <= err_u + 1e-3, (err_t, err_u)
+
+    def test_tightened_shadow_march_is_transmittance_exact(self, rng):
+        """With a correct grid, a 32-sample tightened shadow march must be at
+        least as close to the 256-sample reference as the 32-sample uniform
+        march (sigma is zero outside occupied cells)."""
+        field = _SlabField(sigma0=100.0, z_top=-0.5)
+        rays = make_rays(rng, 64)
+        g = grid_with_slab(z_lo=-1.0, z_hi=-0.45)
+
+        def shadows(sc_n, tighten, grid):
+            cfg = RenderConfig(n_samples=128, sc_n_samples=sc_n,
+                               occ_tighten_shadows=tighten, perturb=False)
+            out = render_rays(field, None, rays, jax.random.PRNGKey(4), cfg,
+                              shadows=True, occ_grid=grid)
+            return np.asarray(out["geo_shadows"])[:, 0]
+
+        ref = shadows(256, False, None)
+        err_u = np.abs(shadows(32, False, None) - ref).mean()
+        err_t = np.abs(shadows(32, True, g) - ref).mean()
+        assert err_t <= err_u + 1e-4, (err_t, err_u)
