@@ -127,28 +127,37 @@ def cast_matrices(flat, dtype):
 # shared math (used identically in forward and backward-recompute)
 # ---------------------------------------------------------------------------
 
-def _pe_pattern():
-    """Constant (3, 30) matrix B with B[j, 3i+j] = 2^i: xb = x @ B
-    reproduces the degree-major frequency layout as ONE tiny matmul instead
-    of a ten-piece 3-lane concat (lane shuffles are the enemy on the VPU).
-    Built from traced iotas — Pallas kernels cannot capture host constants."""
-    k = jax.lax.broadcasted_iota(jnp.int32, (3, 3 * POS_DEG), 1)
-    j = jax.lax.broadcasted_iota(jnp.int32, (3, 3 * POS_DEG), 0)
-    pow2 = jnp.exp2((k // 3).astype(jnp.float32))
-    return jnp.where(k % 3 == j, pow2, 0.0)
+PE_PAD = 64  # PE computed in a padded 64-lane layout (see _pe64_parts)
 
 
-def _pe_parts(x):
-    """(xb, sin(xb), cos(xb)) for f32 x — shared by _pe and the PE vjp."""
-    xb = jax.lax.dot_general(x, _pe_pattern(), (((1,), (0,)), ((), ())),
+def _pe_pattern64():
+    """Constant (3, 64) matrix B with column layout [x(3) | sin-args(30) |
+    cos-args(30) | pad]: xb64 = x @ B reproduces the degree-major frequency
+    layout in ONE lane-aligned 64-wide array — no 3/33-offset concats
+    anywhere (cross-lane shuffles are the enemy on the VPU). Built from
+    traced iotas — Pallas kernels cannot capture host constants; boolean
+    logic avoids i1 select_n (Mosaic: 'unsupported target bitwidth')."""
+    k = jax.lax.broadcasted_iota(jnp.int32, (3, PE_PAD), 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, (3, PE_PAD), 0)
+    deg = jnp.where(k < 33, (k - 3) // 3, (k - 33) // 3)
+    hit = (((k < 3) & (k == j))
+           | ((k >= 3) & (k < 33) & ((k - 3) % 3 == j))
+           | ((k >= 33) & (k < 63) & ((k - 33) % 3 == j)))
+    return jnp.where(hit, jnp.where(k < 3, 1.0, jnp.exp2(deg.astype(jnp.float32))), 0.0)
+
+
+def _pe64_parts(x):
+    """(sin64, cos64, pe64) for f32 x (N, 3); pe64 is (N, 64) f32 with
+    layout [x | sin(x 2^i) | cos(x 2^i) | 0] — values bit-identical to the
+    concat construction (same matmul args, same transcendentals, selects
+    only route lanes)."""
+    xb = jax.lax.dot_general(x, _pe_pattern64(), (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    return xb, jnp.sin(xb), jnp.cos(xb)
-
-
-def _pe(x):
-    """[x | sin(x 2^i) | cos(x 2^i)], degree-major (encoders.py layout)."""
-    _, s, c = _pe_parts(x)
-    return jnp.concatenate([x, s, c], axis=-1)
+    col = jax.lax.broadcasted_iota(jnp.int32, xb.shape, 1)
+    s, c = jnp.sin(xb), jnp.cos(xb)
+    pe = jnp.where(col < 3, xb, jnp.where(col < 33, s,
+                   jnp.where(col < 63, c, 0.0)))
+    return s, c, pe
 
 
 def _mm(a, w, b=None):
@@ -232,17 +241,17 @@ def _trunk_bwd(pe_cd, acts, masks, g_h, w: FieldWeights, dtype, dws, dbs):
     return g_pe
 
 
-def _pe_bwd(x, g_pe, sin_xb=None, cos_xb=None):
-    """d(pe)/d(x): identity block + sin/cos chain rules, vectorized as
-    (cos(xb)*g_sin - sin(xb)*g_cos) @ B^T — one 30-wide elementwise pass and
-    a tiny matmul instead of twenty 3-wide strided lane slices."""
-    if sin_xb is None:
-        _, sin_xb, cos_xb = _pe_parts(x)
-    k = 3 * POS_DEG
-    g_freq = cos_xb * g_pe[:, 3:3 + k] - sin_xb * g_pe[:, 3 + k:3 + 2 * k]
-    return g_pe[:, :3] + jax.lax.dot_general(
-        g_freq, _pe_pattern(), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+def _pe64_bwd(sin64, cos64, g_pe):
+    """d(pe64)/d(x): per-column derivative [1 | cos | -sin | 0] applied as a
+    lane-aligned select+multiply, then one tiny matmul by B^T — no strided
+    slices. g_pe arrives in the compute dtype (the trunk chain), promoted by
+    the f32 derivative multiply."""
+    col = jax.lax.broadcasted_iota(jnp.int32, sin64.shape, 1)
+    deriv = jnp.where(col < 3, 1.0, jnp.where(col < 33, cos64,
+                      jnp.where(col < 63, -sin64, 0.0)))
+    return jax.lax.dot_general(
+        g_pe.astype(jnp.float32) * deriv, _pe_pattern64(),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -252,7 +261,8 @@ def _pe_bwd(x, g_pe, sin_xb=None, cos_xb=None):
 def _field_fwd_kernel(dtype, pos_ref, emb_ref, *rest):
     weight_refs, out_ref = rest[:N_WEIGHTS], rest[N_WEIGHTS]
     w = unflatten_weights([r[:] for r in weight_refs])
-    pe = _pe(pos_ref[:].astype(jnp.float32)).astype(dtype)
+    _, _, pe = _pe64_parts(pos_ref[:].astype(jnp.float32))
+    pe = pe.astype(dtype)
     h = _trunk_fwd(pe, w, dtype)[-1]
     sigma = _softplus(_mm(h, w.sigma_w, w.sigma_b))
     bott = _mm(h, w.bott_w, w.bott_b).astype(dtype)
@@ -277,8 +287,8 @@ def _field_bwd_kernel(dtype, pos_ref, emb_ref, g_ref, *rest):
     # ---- recompute forward, keeping activations + relu masks (dtype) ----
     x = pos_ref[:].astype(jnp.float32)
     emb = emb_ref[:].astype(dtype)
-    _, sxb, cxb = _pe_parts(x)
-    pe = jnp.concatenate([x, sxb, cxb], axis=-1).astype(dtype)
+    sxb, cxb, pe_f32 = _pe64_parts(x)
+    pe = pe_f32.astype(dtype)
     acts, masks = _trunk_fwd(pe, w, dtype, with_masks=True)
     h = acts[-1]
     sig_pre = _mm(h, w.sigma_w, w.sigma_b)
@@ -345,7 +355,7 @@ def _field_bwd_kernel(dtype, pos_ref, emb_ref, g_ref, *rest):
     trunk_db = [None] * 8
     g_pe = _trunk_bwd(pe, acts, masks, g_h, w, dtype, trunk_dw, trunk_db)
 
-    dpos_ref[:] = _pe_bwd(x, g_pe, sxb, cxb)
+    dpos_ref[:] = _pe64_bwd(sxb, cxb, g_pe)
     demb_ref[:] = g_emb
 
     contribs = (trunk_dw + trunk_db
@@ -370,7 +380,8 @@ def _density_fwd_kernel(dtype, pos_ref, *rest):
     tb = [r[:] for r in weight_refs[8:16]]
     sw, sb = weight_refs[16][:], weight_refs[17][:]
     w = FieldWeights(tuple(tw), tuple(tb), sw, sb, *([None] * 12))
-    pe = _pe(pos_ref[:].astype(jnp.float32)).astype(dtype)
+    _, _, pe = _pe64_parts(pos_ref[:].astype(jnp.float32))
+    pe = pe.astype(dtype)
     h = _trunk_fwd(pe, w, dtype)[-1]
     sigma = _softplus(_mm(h, sw, sb))
     out_ref[:] = sigma
@@ -387,8 +398,8 @@ def _density_bwd_kernel(dtype, pos_ref, g_ref, *rest):
     w = FieldWeights(tuple(tw), tuple(tb), sw, sb, *([None] * 12))
 
     x = pos_ref[:].astype(jnp.float32)
-    _, sxb, cxb = _pe_parts(x)
-    pe = jnp.concatenate([x, sxb, cxb], axis=-1).astype(dtype)
+    sxb, cxb, pe_f32 = _pe64_parts(x)
+    pe = pe_f32.astype(dtype)
     acts, masks = _trunk_fwd(pe, w, dtype, with_masks=True)
     h = acts[-1]
     sig_pre = _mm(h, sw, sb)
@@ -402,7 +413,7 @@ def _density_bwd_kernel(dtype, pos_ref, g_ref, *rest):
     trunk_dw = [None] * 8
     trunk_db = [None] * 8
     g_pe = _trunk_bwd(pe, acts, masks, g_h, w, dtype, trunk_dw, trunk_db)
-    dpos_ref[:] = _pe_bwd(x, g_pe, sxb, cxb)
+    dpos_ref[:] = _pe64_bwd(sxb, cxb, g_pe)
 
     contribs = trunk_dw + trunk_db + [dsw, dsb]
     first = pl.program_id(0) == 0
@@ -479,6 +490,24 @@ def _shard_bwd(backward, mesh, axis, n_pt_grads):
     return sharded
 
 
+
+def _pad_pe_rows(flat):
+    """Pad trunk W0 (63->64 rows) and W5 (319->320 rows) with zeros so every
+    kernel array is lane/sublane aligned to the 64-wide pe64 layout."""
+    out = list(flat)
+    out[0] = jnp.pad(out[0], ((0, 1), (0, 0)))
+    out[5] = jnp.pad(out[5], ((0, 1), (0, 0)))
+    return out
+
+
+def _unpad_pe_rows(flat):
+    """Inverse of _pad_pe_rows for the weight-gradient outputs."""
+    out = list(flat)
+    out[0] = out[0][:PE_DIM]
+    out[5] = out[5][:256 + PE_DIM]
+    return out
+
+
 def make_fused_field(compute_dtype=jnp.bfloat16, tile=2048, bwd_tile=512,
                      interpret=False, vmem_limit_mb=None, mesh=None,
                      data_axis="data"):
@@ -500,7 +529,7 @@ def make_fused_field(compute_dtype=jnp.bfloat16, tile=2048, bwd_tile=512,
         pos_p = _pad_rows(pos.astype(jnp.float32), tile)
         emb_p = _pad_rows(emb.astype(jnp.float32), tile)
         npad = pos_p.shape[0]
-        flat = cast_matrices(flatten_weights(weights), compute_dtype)
+        flat = _pad_pe_rows(cast_matrices(flatten_weights(weights), compute_dtype))
         out = pl.pallas_call(
             functools.partial(_field_fwd_kernel, compute_dtype),
             out_shape=jax.ShapeDtypeStruct((npad, 8), jnp.float32),
@@ -520,7 +549,7 @@ def make_fused_field(compute_dtype=jnp.bfloat16, tile=2048, bwd_tile=512,
         g_p = _pad_rows(g.astype(jnp.float32), bwd_tile)
         npad = pos_p.shape[0]
         flat_f32 = flatten_weights(weights)
-        flat = cast_matrices(flat_f32, compute_dtype)
+        flat = _pad_pe_rows(cast_matrices(flat_f32, compute_dtype))
         out_shapes = ([jax.ShapeDtypeStruct((npad, 3), jnp.float32),
                        jax.ShapeDtypeStruct((npad, 4), jnp.float32)]
                       + [jax.ShapeDtypeStruct(wt.shape, jnp.float32) for wt in flat])
@@ -540,7 +569,8 @@ def make_fused_field(compute_dtype=jnp.bfloat16, tile=2048, bwd_tile=512,
         d_pos = outs[0][:n]
         d_emb = outs[1][:n]
         d_weights = unflatten_weights([d.astype(wt.dtype)
-                                       for d, wt in zip(outs[2:], flat_f32)])
+                                       for d, wt in zip(_unpad_pe_rows(outs[2:]),
+                                                        flat_f32)])
         return d_weights, d_pos, d_emb
 
     if mesh is not None:
@@ -577,7 +607,7 @@ def make_fused_density(compute_dtype=jnp.bfloat16, tile=2048, bwd_tile=512,
         n = pos.shape[0]
         pos_p = _pad_rows(pos.astype(jnp.float32), tile)
         npad = pos_p.shape[0]
-        flat = cast_matrices(density_subset(weights), compute_dtype)
+        flat = _pad_pe_rows(cast_matrices(density_subset(weights), compute_dtype))
         out = pl.pallas_call(
             functools.partial(_density_fwd_kernel, compute_dtype),
             out_shape=jax.ShapeDtypeStruct((npad, 1), jnp.float32),
@@ -595,7 +625,7 @@ def make_fused_density(compute_dtype=jnp.bfloat16, tile=2048, bwd_tile=512,
         g_p = _pad_rows(g.astype(jnp.float32).reshape(-1, 1), bwd_tile)
         npad = pos_p.shape[0]
         flat_f32 = density_subset(weights)
-        flat = cast_matrices(flat_f32, compute_dtype)
+        flat = _pad_pe_rows(cast_matrices(flat_f32, compute_dtype))
         out_shapes = ([jax.ShapeDtypeStruct((npad, 3), jnp.float32)]
                       + [jax.ShapeDtypeStruct(wt.shape, jnp.float32) for wt in flat])
         out_specs = ([_tile_spec(bwd_tile, 3)] + [_const_spec(wt.shape) for wt in flat])
@@ -610,7 +640,7 @@ def make_fused_density(compute_dtype=jnp.bfloat16, tile=2048, bwd_tile=512,
             interpret=interpret,
         )(pos_p, g_p, *flat)
         d_pos = outs[0][:n]
-        d_flat = outs[1:]
+        d_flat = _unpad_pe_rows(outs[1:])
         z = jnp.zeros_like
         dw = FieldWeights(
             trunk_w=tuple(d.astype(w_.dtype) for d, w_ in zip(d_flat[0:8], flat_f32[0:8])),
