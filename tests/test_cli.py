@@ -50,3 +50,25 @@ class TestCLI:
         cfg.save(p)
         cfg2 = TrainConfig.load(p)
         assert cfg2.batch_size == 2048 and cfg2.root_dir == "/r"
+
+
+def test_extension_flags_round_trip():
+    from eonerf_code_tpu.cli import config_from_args
+
+    cfg = config_from_args([
+        "--root_dir", "/x", "--occ_tighten", "--occ_tighten_start_step", "500",
+        "--use_pallas", "false", "--lr_decay_steps", "3000",
+        "--first_shadow_step", "6000", "--steps_per_call", "50",
+        "--device_eval", "--compute_dtype", "bfloat16"])
+    assert cfg.occ_tighten is True
+    assert cfg.occ_tighten_shadows is None  # follows occ_tighten
+    assert cfg.occ_tighten_start_step == 500
+    assert cfg.use_pallas is False
+    assert cfg.lr_decay_steps == 3000
+    assert cfg.first_shadow_step == 6000
+    assert cfg.steps_per_call == 50
+    assert cfg.device_eval is True
+
+    cfg2 = config_from_args(["--root_dir", "/x", "--occ_tighten",
+                             "--no_occ_tighten_shadows"])
+    assert cfg2.occ_tighten_shadows is False
