@@ -161,3 +161,32 @@ class TestShadowTightening:
         err_u = np.abs(shadows(32, False, None) - ref).mean()
         err_t = np.abs(shadows(32, True, g) - ref).mean()
         assert err_t <= err_u + 1e-4, (err_t, err_u)
+
+
+def test_eval_restores_checkpointed_grid(tmp_path):
+    """load_occ_grid returns the trained grid for occ_tighten runs (eval
+    samples the same way training did) and None when tightening is off."""
+    from eonerf_code_tpu.config import preset
+    from eonerf_code_tpu.eval.run import load_occ_grid
+    from eonerf_code_tpu.train.loop import Trainer
+    from eonerf_code_tpu.data.synthetic import SyntheticSceneSpec, generate_scene
+
+    info = generate_scene(str(tmp_path / "scene"),
+                          SyntheticSceneSpec(n_views=2, n_test_views=1,
+                                             img_size=24))
+    cfg = preset("synthetic", root_dir=info["root_dir"],
+                 img_dir=info["img_dir"], logs_dir=str(tmp_path / "logs"),
+                 max_train_steps=2, batch_size=64, n_samples=8,
+                 net_width=32, occ_enabled=True, n_grid=16,
+                 occ_tighten=True, occ_tighten_start_step=1,
+                 steps_per_call=2)
+    tr = Trainer(cfg)
+    tr.run(max_steps=2)
+    grid = load_occ_grid(tr.log_dir, cfg)
+    assert grid is not None and grid.resolution == 16
+    np.testing.assert_array_equal(np.asarray(grid.occs),
+                                  np.asarray(tr.occ_grid.occs))
+    cfg_off = preset("synthetic", root_dir=info["root_dir"],
+                     img_dir=info["img_dir"], logs_dir=str(tmp_path / "logs"),
+                     occ_tighten=False)
+    assert load_occ_grid(tr.log_dir, cfg_off) is None
