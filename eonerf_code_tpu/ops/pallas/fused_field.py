@@ -268,7 +268,8 @@ def _field_fwd_kernel(dtype, pos_ref, emb_ref, *rest):
     bott = _mm(h, w.bott_w, w.bott_b).astype(dtype)
     ah = jnp.maximum(_mm(bott, w.alb_w0, w.alb_b0), 0.0).astype(dtype)
     albedo = jax.nn.sigmoid(_mm(ah, w.alb_w1, w.alb_b1))
-    t = jnp.concatenate([bott, emb_ref[:].astype(dtype)], axis=-1)
+    emb64 = jnp.pad(emb_ref[:].astype(dtype), ((0, 0), (0, 60)))
+    t = jnp.concatenate([bott, emb64], axis=-1)
     for i in range(4):
         t = jnp.maximum(_mm(t, w.tr_w[i], w.tr_b[i]), 0.0).astype(dtype)
     ts = jax.nn.sigmoid(_mm(t, w.ts_w, w.ts_b))
@@ -286,7 +287,7 @@ def _field_bwd_kernel(dtype, pos_ref, emb_ref, g_ref, *rest):
 
     # ---- recompute forward, keeping activations + relu masks (dtype) ----
     x = pos_ref[:].astype(jnp.float32)
-    emb = emb_ref[:].astype(dtype)
+    emb = jnp.pad(emb_ref[:].astype(dtype), ((0, 0), (0, 60)))
     sxb, cxb, pe_f32 = _pe64_parts(x)
     pe = pe_f32.astype(dtype)
     acts, masks = _trunk_fwd(pe, w, dtype, with_masks=True)
@@ -491,20 +492,26 @@ def _shard_bwd(backward, mesh, axis, n_pt_grads):
 
 
 
-def _pad_pe_rows(flat):
-    """Pad trunk W0 (63->64 rows) and W5 (319->320 rows) with zeros so every
-    kernel array is lane/sublane aligned to the 64-wide pe64 layout."""
+def _pad_pe_rows(flat, with_transient=False):
+    """Pad trunk W0 (63->64 rows), W5 (319->320 rows) and — for the full
+    field — transient W0 (260->320 rows, matching the 64-lane-padded
+    embedding concat) with zeros so every kernel array is lane/sublane
+    aligned."""
     out = list(flat)
     out[0] = jnp.pad(out[0], ((0, 1), (0, 0)))
     out[5] = jnp.pad(out[5], ((0, 1), (0, 0)))
+    if with_transient:
+        out[24] = jnp.pad(out[24], ((0, 60), (0, 0)))
     return out
 
 
-def _unpad_pe_rows(flat):
+def _unpad_pe_rows(flat, with_transient=False):
     """Inverse of _pad_pe_rows for the weight-gradient outputs."""
     out = list(flat)
     out[0] = out[0][:PE_DIM]
     out[5] = out[5][:256 + PE_DIM]
+    if with_transient:
+        out[24] = out[24][:260]
     return out
 
 
@@ -529,7 +536,8 @@ def make_fused_field(compute_dtype=jnp.bfloat16, tile=2048, bwd_tile=512,
         pos_p = _pad_rows(pos.astype(jnp.float32), tile)
         emb_p = _pad_rows(emb.astype(jnp.float32), tile)
         npad = pos_p.shape[0]
-        flat = _pad_pe_rows(cast_matrices(flatten_weights(weights), compute_dtype))
+        flat = _pad_pe_rows(cast_matrices(flatten_weights(weights), compute_dtype),
+                            with_transient=True)
         out = pl.pallas_call(
             functools.partial(_field_fwd_kernel, compute_dtype),
             out_shape=jax.ShapeDtypeStruct((npad, 8), jnp.float32),
@@ -549,7 +557,8 @@ def make_fused_field(compute_dtype=jnp.bfloat16, tile=2048, bwd_tile=512,
         g_p = _pad_rows(g.astype(jnp.float32), bwd_tile)
         npad = pos_p.shape[0]
         flat_f32 = flatten_weights(weights)
-        flat = _pad_pe_rows(cast_matrices(flat_f32, compute_dtype))
+        flat = _pad_pe_rows(cast_matrices(flat_f32, compute_dtype),
+                            with_transient=True)
         out_shapes = ([jax.ShapeDtypeStruct((npad, 3), jnp.float32),
                        jax.ShapeDtypeStruct((npad, 4), jnp.float32)]
                       + [jax.ShapeDtypeStruct(wt.shape, jnp.float32) for wt in flat])
@@ -569,8 +578,10 @@ def make_fused_field(compute_dtype=jnp.bfloat16, tile=2048, bwd_tile=512,
         d_pos = outs[0][:n]
         d_emb = outs[1][:n]
         d_weights = unflatten_weights([d.astype(wt.dtype)
-                                       for d, wt in zip(_unpad_pe_rows(outs[2:]),
-                                                        flat_f32)])
+                                       for d, wt in zip(
+                                           _unpad_pe_rows(outs[2:],
+                                                          with_transient=True),
+                                           flat_f32)])
         return d_weights, d_pos, d_emb
 
     if mesh is not None:
