@@ -77,6 +77,9 @@ class TrainConfig:
     occ_tighten_shadows: Optional[bool] = None  # same for shadow rays
                                          # (None = follow occ_tighten)
     occ_tighten_start_step: int = 2000   # warmup before trusting the grid
+    occ_explore_frac: float = 0.25       # per-step fraction of rays sampling
+                                         # the full range despite the grid
+                                         # (self-correction; see RenderConfig)
 
     # priors
     init_dsm_path: Optional[str] = None

@@ -177,7 +177,8 @@ def eval_eonerf(run_id, logs_dir, output_dir, epoch_nb=None, root_dir=None,
     rcfg = RenderConfig(n_samples=cfg.n_samples, sc_n_samples=cfg.n_samples,
                         occ_tighten=tighten,
                         occ_tighten_shadows=(tighten if tighten_sc is None
-                                             else tighten_sc))
+                                             else tighten_sc),
+                        occ_explore_frac=0.0)
     occ_grid = load_occ_grid(run_dir, cfg, epoch_nb)
     out_dir = os.path.join(output_dir, run_id)
     key = jax.random.PRNGKey(0)

@@ -62,9 +62,30 @@ class RenderConfig:
                                   # and the grid is conservative)
     occ_probes: int = 64          # static probes per ray for the span walk
     occ_margin: float = 2.0       # span expansion in probe spacings
+    occ_explore_frac: float = 0.25  # fraction of rays per step that sample
+                                  # the FULL range despite the grid. Load-
+                                  # bearing on wide-envelope (IARPA-like)
+                                  # scenes: an early-wrong grid otherwise
+                                  # locks sampling into the wrong altitude
+                                  # band and never recovers (tall-scene A/B:
+                                  # 25.7 m MAE without exploration). Set 0
+                                  # for eval (converged grid).
     nadir_diagnostics: bool = False  # opacity above/below the surface along
                                      # vertical probes (sat_rendering.py:
                                      # 146-174, disabled by default there too)
+
+
+def _with_exploration(key, t_lo, t_hi, near, far, frac):
+    """Per-ray exploration: a `frac` subset of rays keeps the FULL [near,
+    far] range despite the occupancy span. This is what makes tightening
+    self-correcting — exploring rays re-grow density wherever the grid is
+    wrong, and the next grid update widens the spans."""
+    if frac <= 0.0:
+        return t_lo, t_hi
+    explore = jax.random.uniform(key, t_lo.shape) < frac
+    near = jnp.broadcast_to(jnp.asarray(near, t_lo.dtype), t_lo.shape)
+    far = jnp.broadcast_to(jnp.asarray(far, t_hi.dtype), t_hi.shape)
+    return jnp.where(explore, near, t_lo), jnp.where(explore, far, t_hi)
 
 
 def _sample_block(key, origins, viewdirs, near, n_samples, span, perturb, bound,
@@ -108,6 +129,9 @@ def _camera_samples(field, params, o, d, near, key, cfg: RenderConfig,
         t_lo, t_hi = occ_grid.ray_span(o, d, near, near + cfg.ray_span,
                                        n_probes=cfg.occ_probes,
                                        margin=cfg.occ_margin)
+        t_lo, t_hi = _with_exploration(jax.random.fold_in(k_cam, 7), t_lo, t_hi,
+                                       near, near + cfg.ray_span,
+                                       cfg.occ_explore_frac)
     else:
         t_lo, t_hi = near, near + cfg.ray_span
     z_vals = stratified_z_vals(k_cam, t_lo, t_hi, cfg.n_samples,
@@ -188,10 +212,14 @@ def render_rays(field, params, rays: SatRays, key, cfg: RenderConfig,
         if occ_grid is not None and cfg.occ_tighten_shadows:
             # tightening the shadow march is transmittance-exact: sigma is
             # zero outside occupied cells, so the exit transmittance over
-            # the tightened span equals the full-span value
+            # the tightened span equals the full-span value (given a correct
+            # grid; exploration keeps it honest while the grid converges)
             sc_lo, sc_hi = occ_grid.ray_span(
                 jax.lax.stop_gradient(sc_o), sc_d, sc_near, cfg.ray_span,
                 n_probes=cfg.occ_probes, margin=cfg.occ_margin)
+            sc_lo, sc_hi = _with_exploration(
+                jax.random.fold_in(k_sc, 7), sc_lo, sc_hi,
+                sc_near, sc_near + cfg.ray_span, cfg.occ_explore_frac)
         else:
             sc_lo, sc_hi = sc_near, None
         sc_pos, _, sc_delta, sc_mask = _sample_block(

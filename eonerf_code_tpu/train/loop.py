@@ -222,7 +222,12 @@ class Trainer:
         self.rcfg = RenderConfig(n_samples=cfg.n_samples, sc_n_samples=cfg.n_samples,
                                  n_importance=cfg.n_importance,
                                  occ_tighten=cfg.occ_tighten,
-                                 occ_tighten_shadows=tighten_sc)
+                                 occ_tighten_shadows=tighten_sc,
+                                 occ_explore_frac=cfg.occ_explore_frac)
+        # validation/eval renders don't explore (deterministic given key)
+        import dataclasses as _dc
+
+        self.rcfg_eval = _dc.replace(self.rcfg, occ_explore_frac=0.0)
 
         render_field = self.field
         if cfg.use_pallas is None:
@@ -262,6 +267,10 @@ class Trainer:
         self.step = 0
         self.epoch = 0
         self.best_val_mae = float("inf")
+        # occupied-fraction history for the tightening stability gate (one
+        # host scalar per grid update; reset on resume — tightening re-arms
+        # after `window` fresh updates)
+        self._occ_frac_hist = []
         if cfg.ckpt_path:
             self.restore(cfg.ckpt_path)
 
@@ -324,12 +333,30 @@ class Trainer:
                 k = min(k, gate - step)
         return max(k, 1)
 
+    def _occ_grid_stable(self, window=5, tol=0.05):
+        """True once the occupied fraction has stopped moving (relative
+        drift < tol over the last `window` grid updates). A fixed step-count
+        warmup is NOT sufficient: on wide-envelope (IARPA-like) scenes the
+        grid at step 2000 is still wrong, and tightening onto it locks
+        training out of the recovery the uniform sampler achieves (tall-
+        scene A/B: 23-26 m MAE vs 2.5-3.2 m). The grid is trustworthy only
+        when it has converged."""
+        h = self._occ_frac_hist
+        if len(h) < window:
+            return False
+        ref = h[-1]
+        if ref <= 0:
+            return False
+        return max(abs(x - ref) for x in h[-window:]) / ref < tol
+
     def _occ_for_sampling(self, step=None):
-        """The grid handed to the sampler: None until tightening is enabled
-        and warmed up (fallback-by-construction before that)."""
+        """The grid handed to the sampler: None until tightening is enabled,
+        past the warmup step AND the grid has stabilized (fallback-by-
+        construction before that)."""
         step = self.step if step is None else step
         if (self.cfg.occ_tighten and self.occ_grid is not None
-                and step >= self.cfg.occ_tighten_start_step):
+                and step >= self.cfg.occ_tighten_start_step
+                and self._occ_grid_stable()):
             return self.occ_grid
         return None
 
@@ -367,6 +394,9 @@ class Trainer:
                         and self.step % cfg.occ_update_every == 0):
                     key, okey = jax.random.split(key)
                     self.occ_grid = self._occ_update(self.occ_grid, self.params, okey)
+                    if cfg.occ_tighten:
+                        self._occ_frac_hist.append(
+                            float(jnp.mean(self.occ_grid.binaries)))
 
                 k = self._block_size(self.step, self.steps_per_epoch - i,
                                      max_steps - self.step)
@@ -416,7 +446,7 @@ class Trainer:
         shadows = self.epoch_flags(self.epoch)[0] if shadows is None else shadows
         key = key or jax.random.PRNGKey(0)
         rays = satrays_from_tensor(jnp.asarray(sample["rays"]), jnp.asarray(sample["ts"]))
-        return render_image(self.render_field, self.params, rays, key, self.rcfg,
+        return render_image(self.render_field, self.params, rays, key, self.rcfg_eval,
                             shadows=shadows, chunk=self.cfg.chunk, depth_only=depth_only,
                             occ_grid=self._occ_for_sampling())
 

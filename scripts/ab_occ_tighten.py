@@ -8,6 +8,14 @@ Arms (same schedule as run_production_scale.py, shorter horizon):
   tight96   — 96 samples concentrated (better-MAE-at-equal-cost probe)
 
     python scripts/ab_occ_tighten.py [workdir] [steps] [arm ...]
+
+Pass --tall to run the WIDE-ENVELOPE (IARPA-like) scene instead: 80 m
+buildings in a [-2, 220] m altitude envelope. Round-2 findings there
+(reproducible): uniform64 2.5-3.2 m; hierarchical imp48+32 2.28 m (best);
+tight64 22-30 m — the grid<->sampler feedback loop amplifies floaters while
+geometry is unresolved, and neither per-ray exploration, the occupied-
+fraction stability gate, nor a late start (8000) rescues it. Tightening is
+a COMPACT-ENVELOPE tool; use n_importance on wide envelopes.
 """
 
 import os
@@ -24,6 +32,10 @@ ARMS = {
     "base96": dict(n_samples=96, occ_enabled=False, occ_tighten=False),
     "tight48": dict(n_samples=48, occ_enabled=True, occ_tighten=True),
     "tight96": dict(n_samples=96, occ_enabled=True, occ_tighten=True),
+    # wide-envelope (--tall) arms
+    "uniform64": dict(n_samples=64, occ_enabled=False, occ_tighten=False),
+    "tight64": dict(n_samples=64, occ_enabled=True, occ_tighten=True),
+    "imp48+32": dict(n_samples=48, n_importance=32, occ_enabled=False),
 }
 
 
@@ -52,11 +64,23 @@ def run_arm(scene, workdir, name, steps):
 
 def main(workdir="/tmp/eonerf_ab_occ", steps="10000", *arms):
     steps = int(steps)
-    arms = list(arms) or list(ARMS)
-    spec = SyntheticSceneSpec(
-        n_views=10, n_test_views=2, img_size=320, extent=400.0,
-        n_buildings=9, box_size=60.0, box_height=24.0,
-        dsm_resolution=1.0, radiometric_jitter=0.08, seed=7)
+    arms = list(arms)
+    tall = "--tall" in arms
+    arms = [a for a in arms if a != "--tall"]
+    if not arms:
+        arms = (["uniform64", "tight64", "imp48+32"] if tall
+                else ["base96", "tight48", "tight96"])
+    if tall:
+        spec = SyntheticSceneSpec(
+            n_views=10, n_test_views=2, img_size=320, extent=400.0,
+            n_buildings=9, box_size=60.0, box_height=80.0,
+            min_alt=-2.0, max_alt=220.0,
+            dsm_resolution=1.0, radiometric_jitter=0.08, seed=11)
+    else:
+        spec = SyntheticSceneSpec(
+            n_views=10, n_test_views=2, img_size=320, extent=400.0,
+            n_buildings=9, box_size=60.0, box_height=24.0,
+            dsm_resolution=1.0, radiometric_jitter=0.08, seed=7)
     scene = generate_scene(os.path.join(workdir, "scene"), spec)
     results = {}
     for name in arms:

@@ -113,7 +113,13 @@ class TestTightenedRendering:
                      steps_per_call=4)
         tr = Trainer(cfg)
         assert tr._occ_for_sampling(step=0) is None
+        # stability gate: a fixed step count alone does NOT enable tightening
+        assert tr._occ_for_sampling(step=2) is None
+        tr._occ_frac_hist = [0.30, 0.31, 0.30, 0.30, 0.30]  # converged grid
         assert tr._occ_for_sampling(step=2) is tr.occ_grid
+        tr._occ_frac_hist = [0.50, 0.45, 0.40, 0.35, 0.30]  # still drifting
+        assert tr._occ_for_sampling(step=2) is None
+        tr._occ_frac_hist = []
         # the block scheduler may not cross the start step mid-block
         assert tr._block_size(0, 100, 100) <= 2
         tr.run(max_steps=4)  # smoke: the tightened megastep compiles + runs
