@@ -45,7 +45,7 @@ def build_step(n_images=10, n_samples=128, compute_dtype="bfloat16", scan_steps=
     params = base_field.init(jax.random.PRNGKey(0), jnp.zeros((2, 3, 3)),
                              jnp.zeros((2, 3)), jnp.zeros((2,), jnp.int32),
                              method="init_all")
-    if compute_dtype == "bfloat16" and jax.default_backend() != "cpu":
+    if compute_dtype == "bfloat16" and jax.default_backend() == "tpu":
         from eonerf_code_tpu.models.fused import PallasField
 
         field = PallasField(base_field)

@@ -60,10 +60,15 @@ def build_parser():
                    action="store_false", default=None,
                    help="keep the shadow march uniform even with --occ_tighten")
     g.add_argument("--occ_tighten_start_step", type=int, default=2000)
-    g.add_argument("--use_pallas", type=lambda s: s.lower() == "true",
+    def _strict_bool(v):
+        if v.lower() in ("true", "false"):
+            return v.lower() == "true"
+        raise argparse.ArgumentTypeError(f"expected true/false, got {v!r}")
+
+    g.add_argument("--use_pallas", type=_strict_bool,
                    default=None, metavar="{true,false}",
                    help="fused Pallas field kernels (default: auto — on for "
-                        "bf16 on accelerator backends)")
+                        "bf16 on TPU backends)")
     g.add_argument("--lr_decay_steps", type=int, default=None,
                    help="decay lr per N steps instead of per epoch")
     g.add_argument("--first_shadow_step", type=int, default=None)
@@ -114,11 +119,18 @@ def eval_cli(argv=None):
     p.add_argument("--img_dir", type=str, default=None)
     p.add_argument("--gt_dir", type=str, default=None)
     p.add_argument("--dsm", action="store_true")
+    p.add_argument("--pinhole", action="store_true",
+                   help="virtual pinhole camera for the DSM sweep (the "
+                        "reference's dormant branch; default: orthographic)")
+    p.add_argument("--chunk", type=int, default=4096)
+    p.add_argument("--dsm_resolution", type=float, default=None)
     args = p.parse_args(argv)
     from eonerf_code_tpu.eval.run import eval_eonerf
 
     out = eval_eonerf(args.run_id, args.logs_dir, args.output_dir,
                       epoch_nb=args.epoch_nb, root_dir=args.root_dir,
-                      img_dir=args.img_dir, gt_dir=args.gt_dir, dsm=args.dsm)
+                      img_dir=args.img_dir, gt_dir=args.gt_dir, dsm=args.dsm,
+                      chunk=args.chunk, dsm_resolution=args.dsm_resolution,
+                      pinhole=args.pinhole)
     print(out)
     return out

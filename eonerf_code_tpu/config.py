@@ -127,6 +127,14 @@ class TrainConfig:
     def log_dir(self):
         return os.path.join(self.logs_dir, self.exp_name)
 
+    def resolved_occ_tighten_shadows(self):
+        """Shadow-march tightening follows occ_tighten unless overridden —
+        the ONE place this rule lives (trainer and eval both call it, so
+        inference can never silently sample differently from training)."""
+        if self.occ_tighten_shadows is None:
+            return self.occ_tighten
+        return self.occ_tighten_shadows
+
 
 def preset(name, **overrides):
     """Named presets mirroring the reference shell scripts."""

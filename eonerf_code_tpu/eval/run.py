@@ -172,12 +172,10 @@ def eval_eonerf(run_id, logs_dir, output_dir, epoch_nb=None, root_dir=None,
     dataset.json_files = [os.path.join(cfg.root_dir, p) for p in files]
     dataset.all_ids_img = list(range(len(files)))
 
-    tighten = getattr(cfg, "occ_tighten", False)
-    tighten_sc = getattr(cfg, "occ_tighten_shadows", None)
     rcfg = RenderConfig(n_samples=cfg.n_samples, sc_n_samples=cfg.n_samples,
-                        occ_tighten=tighten,
-                        occ_tighten_shadows=(tighten if tighten_sc is None
-                                             else tighten_sc),
+                        n_importance=cfg.n_importance,
+                        occ_tighten=cfg.occ_tighten,
+                        occ_tighten_shadows=cfg.resolved_occ_tighten_shadows(),
                         occ_explore_frac=0.0)
     occ_grid = load_occ_grid(run_dir, cfg, epoch_nb)
     out_dir = os.path.join(output_dir, run_id)

@@ -62,7 +62,20 @@ def load_rgb_image(img_path, downscale_factor=1):
         img = img[:, :, :3]
 
     if np.nanmax(img) > 1.1:  # reference heuristic; keeps binary 0/1 masks
-        img = img / (int_max if int_max is not None and int_max > 1 else 255.0)
+        if int_max is not None and int_max > 255:
+            # integer rasters whose payload bit depth is smaller than the
+            # container (11-bit WorldView in uint16, 16-bit PNG decoded to
+            # int32 by PIL): dividing by the container max crushes the data
+            # toward 0. Use the smallest standard full-scale that holds the
+            # data max — deterministic per sensor, so multi-view radiometry
+            # stays consistent across images of the same bit depth.
+            data_max = float(np.nanmax(img))
+            scale = next((fs for fs in (255.0, 1023.0, 2047.0, 4095.0,
+                                        16383.0, 65535.0) if fs >= data_max),
+                         data_max)
+            img = img / scale
+        else:
+            img = img / 255.0
     img = np.nan_to_num(img, nan=0.0)
     img = np.clip(img, 0, 1)
     if downscale_factor > 1:

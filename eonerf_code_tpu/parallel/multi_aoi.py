@@ -133,9 +133,12 @@ class MultiAOITrainer:
         n_scene = jnp.asarray(self.n_rays_per_scene)[:, None]
         for _ in range(n_steps):
             self._key, k1, k2 = jax.random.split(self._key, 3)
-            # uniform over each scene's TRUE ray count (padding never drawn)
-            u = jax.random.uniform(k1, (self.n_scenes, self.batch_size))
-            idx = jnp.minimum((u * n_scene).astype(jnp.int32), n_scene - 1)
+            # uniform over each scene's TRUE ray count (padding never
+            # drawn). randint with a per-scene maxval is EXACT — a float32
+            # uniform*n construction cannot address pools beyond 2^24 rays
+            # (odd indices become unreachable near the top of the range)
+            idx = jax.random.randint(k1, (self.n_scenes, self.batch_size),
+                                     0, n_scene)
             keys = jax.random.split(k2, self.n_scenes)
             self.params, self.opt_state, losses = self._multi_step(
                 self.params, self.opt_state, self.data, idx, keys, shadows)

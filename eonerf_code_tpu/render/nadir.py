@@ -42,6 +42,12 @@ def virtual_pinhole_rays(w, h, focal, radius=2.0, el_deg=0.0, az_deg=0.0,
                          near=None, far=None, pixel_center=0.5):
     """(h*w, 8) perspective ray tensor [o, d, near, far] in the normalized
     frame (the reference's dormant pinhole branch, eval_eonerf.py:166-179).
+
+    Documented deviation: directions are NORMALIZED here, so [near, far]
+    measures true arc length for every pixel; the reference marches t along
+    UNNORMALIZED directions, reaching up to |d|x the span for oblique
+    pixels. Since the branch is hardcoded off in the reference (no output
+    to match) the well-defined metric convention wins.
     """
     c2w = pose_spherical(az_deg, el_deg, radius)
     x, y = np.meshgrid(np.arange(w, dtype=np.float64) + pixel_center,

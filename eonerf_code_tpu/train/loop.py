@@ -217,8 +217,7 @@ class Trainer:
 
         self.occ_grid = OccupancyGrid.create(cfg.n_grid) if cfg.occ_enabled else None
         self.render_step_size = 2.0 / cfg.n_samples
-        tighten_sc = (cfg.occ_tighten if cfg.occ_tighten_shadows is None
-                      else cfg.occ_tighten_shadows)
+        tighten_sc = cfg.resolved_occ_tighten_shadows()
         self.rcfg = RenderConfig(n_samples=cfg.n_samples, sc_n_samples=cfg.n_samples,
                                  n_importance=cfg.n_importance,
                                  occ_tighten=cfg.occ_tighten,
@@ -237,7 +236,7 @@ class Trainer:
             # over ICI). The kernels are specialized to the reference 8x256
             # architecture.
             use_pallas = (cfg.compute_dtype == "bfloat16"
-                          and jax.default_backend() != "cpu"
+                          and jax.default_backend() == "tpu"
                           and cfg.net_depth == 8 and cfg.net_width == 256
                           and not cfg.rpc_correction)
         else:

@@ -78,7 +78,8 @@ def time_cfg(tile, bwd_tile, vmem, bs, iters=4):
 
 def main():
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
-    configs = [(1024, 512, None), (2048, 512, None), (4096, 512, None),
+    configs = [(None, None, None),
+               (1024, 512, None), (2048, 512, None), (4096, 512, None),
                (2048, 1024, 32), (4096, 1024, 32), (4096, 2048, 64),
                (8192, 2048, 96)]
     for tile, bwd, vmem in configs:

@@ -36,18 +36,20 @@ def scene_dir(tmp_path_factory):
 class TestRasterQuirks:
     def test_uint16_multiband_with_nodata(self, tmp_path):
         """11-bit WorldView values in a uint16 container, 4 bands, nodata=0:
-        must scale to [0,1] by the dtype range (not clip to white) and map
-        nodata to 0 with no NaNs."""
+        must scale by the PAYLOAD bit depth (11-bit full scale 2047), not
+        the container range (which would crush the data to [0, 0.03]) and
+        not clip to white; nodata maps to 0 with no NaNs."""
         rng = np.random.default_rng(0)
         arr = rng.integers(1, 2047, size=(4, 16, 16)).astype(np.uint16)
+        arr[0, 8, 8] = 2047  # full-scale 11-bit pixel
         arr[:, :4, :4] = 0  # nodata corner
         p = str(tmp_path / "wv3.tif")
         write_geotiff(p, arr, nodata=0.0)
         img = load_rgb_image(p)
         assert img.shape == (16, 16, 3)
         assert np.isfinite(img).all()
-        assert img.max() <= 2047 / 65535 + 1e-6  # dtype-range scaling
-        assert img.max() > 0.01                  # not clipped to zero
+        assert abs(img.max() - 1.0) < 1e-6   # 2047/2047: full payload range
+        assert img.mean() > 0.1              # not crushed toward zero
         np.testing.assert_array_equal(img[:4, :4], 0.0)
 
     def test_binary_uint8_mask_passthrough(self, tmp_path):
