@@ -202,6 +202,10 @@ class SatelliteDataset:
         self.scene = SatelliteScene(root_dir, img_downscale, utm)
         self.img_downscale = self.scene.img_downscale
         self.utm = utm
+        # ONE radiometric divisor for the whole scene (train + test views):
+        # per-image scale inference can split views of the same sensor
+        # across bit-depth boundaries (io/image.py scene_radiometric_scale)
+        self.radiometric_scale = self._scene_radiometric_scale()
 
         if self.train:
             files = self.scene._split_files("train.txt")
@@ -231,6 +235,26 @@ class SatelliteDataset:
 
     # ---- ray/image loading ----
 
+    def _scene_radiometric_scale(self):
+        """Scene-wide radiometric divisor over the train + test rosters
+        (None = trivial /255 path; cached next to the ray cache)."""
+        from eonerf_code_tpu.io.image import scene_radiometric_scale
+
+        files = self.scene._split_files("train.txt")
+        if os.path.exists(os.path.join(self.root_dir, "test.txt")):
+            files = files + self.scene._split_files("test.txt")
+        paths = []
+        for p in files:
+            d = read_json(os.path.join(self.root_dir, p))
+            cand = os.path.join(self.img_dir, d["img"])
+            if os.path.exists(cand):
+                paths.append(cand)
+        if not paths:
+            return None
+        # NOT *.json — the scene dir glob treats every .json as view metadata
+        cache = os.path.join(self.cache_dir or self.root_dir, "scene.radiometry")
+        return scene_radiometric_scale(paths, cache_path=cache)
+
     def _cache_path(self, img_id):
         return None if self.cache_dir is None else os.path.join(self.cache_dir, img_id + ".npy")
 
@@ -239,7 +263,7 @@ class SatelliteDataset:
         d = read_json(json_path)
         img_p = os.path.join(self.img_dir, d["img"])
         img_id = get_file_id(d["img"])
-        img = load_rgb_image(img_p, self.img_downscale)
+        img = load_rgb_image(img_p, self.img_downscale, scale=self.radiometric_scale)
         h = int(d["height"] // self.img_downscale)
         w = int(d["width"] // self.img_downscale)
         if img.shape[:2] != (h, w):

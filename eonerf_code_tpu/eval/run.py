@@ -62,21 +62,37 @@ def load_run(run_dir, epoch_nb=None, n_images=None):
               f"shape of the embedding dictionary ({n_images} vs {n_in_ckpt})")
     n_images = n_in_ckpt
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    field = EONerfField(n_images=n_images, net_depth=cfg.net_depth,
-                        net_width=cfg.net_width,
-                        radiometric_normalization=cfg.radiometric_normalization,
-                        rpc_correction=cfg.rpc_correction,
-                        compute_dtype=dtype)
+    base_field = EONerfField(n_images=n_images, net_depth=cfg.net_depth,
+                             net_width=cfg.net_width,
+                             radiometric_normalization=cfg.radiometric_normalization,
+                             rpc_correction=cfg.rpc_correction,
+                             compute_dtype=dtype)
+    # same backend selection as the trainer (train/loop.py): a bf16 run that
+    # trained/validated through the fused Pallas kernels also EVALS through
+    # them — one render backend per run, never two
+    from eonerf_code_tpu.models.fused import make_render_field
+
+    field = make_render_field(base_field, cfg)
     return cfg, field, params
 
 
 def load_occ_grid(run_dir, cfg, epoch_nb=None):
     """Restore the checkpointed occupancy grid when the run trained with
-    occ_tighten — eval must sample the same way training did."""
+    occ_tighten — eval must sample the same way training did. The
+    checkpoint's occ_sampling.json sidecar records whether the stability
+    gate had actually OPENED by this checkpoint: an early or
+    never-stabilized checkpoint trained untightened, so eval must too."""
     if not getattr(cfg, "occ_tighten", False):
         return None
     path = (os.path.join(run_dir, "ckpts", f"epoch={epoch_nb}")
             if epoch_nb is not None else ckpt_lib.latest_checkpoint(run_dir))
+    sidecar = os.path.join(path, "occ_sampling.json")
+    if os.path.exists(sidecar):
+        import json
+
+        with open(sidecar) as f:
+            if not json.load(f).get("tighten_active", True):
+                return None
     restored = ckpt_lib.restore_checkpoint(path)
     if "occ" not in restored:
         return None

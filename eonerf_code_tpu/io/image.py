@@ -19,7 +19,86 @@ def _resize_bicubic(img_hwc, h, w):
     return out[0].numpy().transpose(1, 2, 0)
 
 
-def load_rgb_image(img_path, downscale_factor=1):
+STANDARD_FULL_SCALES = (255.0, 1023.0, 2047.0, 4095.0, 16383.0, 65535.0)
+
+
+def full_scale_for(data_max):
+    """Smallest standard integer full-scale (8/10/11/12/14/16-bit) that
+    holds ``data_max``. EO payload bit depth is rarely the container bit
+    depth (11-bit WorldView in uint16), so dividing by the container max
+    crushes the data toward 0."""
+    return next((fs for fs in STANDARD_FULL_SCALES if fs >= data_max),
+                float(data_max))
+
+
+def image_payload_stats(img_path):
+    """(data_max, int_max) of one raster: nanmax of the payload with nodata
+    excluded, and the container integer dtype max (None for float rasters).
+    Used to derive ONE radiometric scale per scene — see
+    `scene_radiometric_scale`."""
+    p = str(img_path)
+    if p.endswith((".tif", ".tiff")):
+        from eonerf_code_tpu.io.geotiff import GeoTiffFile
+
+        f = GeoTiffFile(p)
+        src = f.read()
+        raw = src.astype(np.float64)
+        if f.nodata is not None and not np.isnan(f.nodata):
+            raw = np.where(raw == f.nodata, np.nan, raw)
+    elif p.endswith(".png"):
+        from PIL import Image
+
+        src = np.asarray(Image.open(p))
+        raw = src.astype(np.float64)
+    else:
+        raise ValueError(f"unknown image extension: {p}")
+    int_max = (float(np.iinfo(src.dtype).max)
+               if np.issubdtype(src.dtype, np.integer) else None)
+    data_max = float(np.nanmax(raw)) if raw.size else 0.0
+    return data_max, int_max
+
+
+def scene_radiometric_scale(img_paths, cache_path=None):
+    """One radiometric divisor for a whole scene/sensor.
+
+    The per-image inference in `load_rgb_image` divides each crop by the
+    smallest standard full-scale >= ITS OWN max — two crops of the same
+    sensor whose maxes straddle a boundary get inconsistent radiometry,
+    which EO-NeRF's multi-view shading model assumes away. This computes the
+    scale ONCE over every view of the scene (train + test rosters) and
+    returns it; `load_rgb_image(..., scale=...)` then applies the same
+    divisor to every view.
+
+    Returns None when the default path is already consistent (uint8 or
+    float rasters: every image divides by 255 regardless of content).
+    Result is cached as JSON keyed by the image list.
+    """
+    import json
+    import os
+
+    img_paths = [str(p) for p in img_paths]
+    key = [os.path.basename(p) for p in img_paths]
+    if cache_path and os.path.exists(cache_path):
+        with open(cache_path) as fh:
+            d = json.load(fh)
+        if d.get("key") == key:
+            return d["scale"]
+    # container dtype check on the first view only: uint8/float containers
+    # take the trivial /255 path for every image, no scene pass needed
+    _, int_max0 = image_payload_stats(img_paths[0])
+    if int_max0 is None or int_max0 <= 255:
+        scale = None
+    else:
+        data_max = max(image_payload_stats(p)[0] for p in img_paths)
+        scale = full_scale_for(data_max) if data_max > 1.1 else None
+    if cache_path:
+        os.makedirs(os.path.dirname(os.path.abspath(cache_path)), exist_ok=True)
+        with open(cache_path, "w") as fh:
+            json.dump({"key": key, "scale": scale}, fh)
+    return scale
+
+
+def load_rgb_image(img_path, downscale_factor=1, scale=None):
     """Load a .tif/.png image as float (h, w, 3) in [0, 1].
 
     Reference: datasets/satellite.py:152-172 (`load_rgb_geotiff`), hardened
@@ -30,6 +109,10 @@ def load_rgb_image(img_path, downscale_factor=1):
       pass through untouched either way;
     - multispectral rasters (>3 bands) keep the first 3 bands;
     - nodata values (NaN or the file's declared nodata) map to 0.
+
+    ``scale``: explicit full-scale divisor (from `scene_radiometric_scale`)
+    so every view of a scene is normalized identically; when None the scale
+    is inferred per image (standalone/mask use).
     """
     p = str(img_path)
     nodata = None
@@ -62,18 +145,18 @@ def load_rgb_image(img_path, downscale_factor=1):
         img = img[:, :, :3]
 
     if np.nanmax(img) > 1.1:  # reference heuristic; keeps binary 0/1 masks
-        if int_max is not None and int_max > 255:
+        if scale is not None:
+            # scene-wide divisor (scene_radiometric_scale): every view of
+            # the scene is normalized identically
+            img = img / scale
+        elif int_max is not None and int_max > 255:
             # integer rasters whose payload bit depth is smaller than the
             # container (11-bit WorldView in uint16, 16-bit PNG decoded to
             # int32 by PIL): dividing by the container max crushes the data
             # toward 0. Use the smallest standard full-scale that holds the
-            # data max — deterministic per sensor, so multi-view radiometry
-            # stays consistent across images of the same bit depth.
-            data_max = float(np.nanmax(img))
-            scale = next((fs for fs in (255.0, 1023.0, 2047.0, 4095.0,
-                                        16383.0, 65535.0) if fs >= data_max),
-                         data_max)
-            img = img / scale
+            # data max. NOTE: per-image inference — fine standalone, but
+            # multi-view datasets should pass the scene-wide `scale`.
+            img = img / full_scale_for(float(np.nanmax(img)))
         else:
             img = img / 255.0
     img = np.nan_to_num(img, nan=0.0)

@@ -18,6 +18,34 @@ from eonerf_code_tpu.ops.pallas.fused_field import (
 )
 
 
+def make_render_field(field, cfg, mesh=None):
+    """The ONE place backend selection lives: returns the field the renderer
+    should evaluate through for this config — the raw flax field, or
+    PallasField wrapping it. Trainer (train/loop.py) and eval (eval/run.py)
+    both call this, so train-time validation renders and eval renders always
+    go through the SAME backend.
+
+    cfg.use_pallas None = auto: fused kernels ON for bfloat16 on the TPU
+    backend with the reference 8x256 architecture (batch-flat 81k vs
+    anti-scaling 63k rays/s on v5e); on CPU the kernels run in interpret
+    mode only when explicitly requested (use_pallas=True) — e.g. the
+    virtual-mesh tests and the multichip dryrun.
+    """
+    import jax
+
+    if cfg.use_pallas is None:
+        use_pallas = (cfg.compute_dtype == "bfloat16"
+                      and jax.default_backend() == "tpu"
+                      and cfg.net_depth == 8 and cfg.net_width == 256
+                      and not cfg.rpc_correction)
+    else:
+        use_pallas = cfg.use_pallas
+    if not use_pallas:
+        return field
+    return PallasField(field, mesh=mesh,
+                       interpret=jax.default_backend() == "cpu")
+
+
 class PallasField:
     def __init__(self, field, tile=2048, bwd_tile=1024, interpret=False,
                  vmem_limit_mb=32, mesh=None, data_axis="data"):
@@ -28,6 +56,7 @@ class PallasField:
         self.field = field
         self.beta_min = field.beta_min
         self.rpc_correction = field.rpc_correction
+        self.n_images = field.n_images
         dtype = field.compute_dtype
         self._fused_field = make_fused_field(dtype, tile, bwd_tile, interpret,
                                              vmem_limit_mb=vmem_limit_mb,

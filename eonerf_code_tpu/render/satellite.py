@@ -210,10 +210,12 @@ def render_rays(field, params, rays: SatRays, key, cfg: RenderConfig,
         sc_d = -sun_d
         sc_near = jnp.zeros_like(near)
         if occ_grid is not None and cfg.occ_tighten_shadows:
-            # tightening the shadow march is transmittance-exact: sigma is
-            # zero outside occupied cells, so the exit transmittance over
-            # the tightened span equals the full-span value (given a correct
-            # grid; exploration keeps it honest while the grid converges)
+            # tightening the shadow march APPROXIMATES the full-span exit
+            # transmittance: the MLP's sigma is nonzero everywhere, the grid
+            # only thresholds it (occ_thre) and is stale between updates, so
+            # skipped regions drop small-but-nonzero extinction and bias the
+            # exit transmittance upward. The margin expansion and the
+            # exploration fraction bound the error while the grid converges.
             sc_lo, sc_hi = occ_grid.ray_span(
                 jax.lax.stop_gradient(sc_o), sc_d, sc_near, cfg.ray_span,
                 n_probes=cfg.occ_probes, margin=cfg.occ_margin)

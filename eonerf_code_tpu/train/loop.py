@@ -228,26 +228,11 @@ class Trainer:
 
         self.rcfg_eval = _dc.replace(self.rcfg, occ_explore_frac=0.0)
 
-        render_field = self.field
-        if cfg.use_pallas is None:
-            # auto: the fused kernels win on accelerator backends at bf16
-            # (batch-flat 81k vs anti-scaling 63k rays/s on v5e); mesh runs
-            # use the shard_map'ed kernels (points shard, weight grads psum
-            # over ICI). The kernels are specialized to the reference 8x256
-            # architecture.
-            use_pallas = (cfg.compute_dtype == "bfloat16"
-                          and jax.default_backend() == "tpu"
-                          and cfg.net_depth == 8 and cfg.net_width == 256
-                          and not cfg.rpc_correction)
-        else:
-            use_pallas = cfg.use_pallas
-        if use_pallas:
-            from eonerf_code_tpu.models.fused import PallasField
+        # backend selection is shared with eval (eval/run.py) so train-time
+        # validation and eval always render through the same field backend
+        from eonerf_code_tpu.models.fused import make_render_field
 
-            # interpret mode keeps an explicit use_pallas=True testable on
-            # the CPU backend (virtual multi-chip meshes included)
-            render_field = PallasField(self.field, mesh=mesh,
-                                       interpret=jax.default_backend() == "cpu")
+        render_field = make_render_field(self.field, cfg, mesh=mesh)
         self.render_field = render_field
         prior_flags = dict(has_depth="depth_prior" in data,
                            has_conf="conf_prior" in data,
@@ -267,8 +252,9 @@ class Trainer:
         self.epoch = 0
         self.best_val_mae = float("inf")
         # occupied-fraction history for the tightening stability gate (one
-        # host scalar per grid update; reset on resume — tightening re-arms
-        # after `window` fresh updates)
+        # host scalar per grid update). PERSISTED as a checkpoint sidecar
+        # (occ_sampling.json) so a resumed run samples exactly as an
+        # uninterrupted one would — no re-arming window after restore.
         self._occ_frac_hist = []
         if cfg.ckpt_path:
             self.restore(cfg.ckpt_path)
@@ -282,8 +268,20 @@ class Trainer:
             state["occ"] = {"occs": self.occ_grid.occs, "binaries": self.occ_grid.binaries}
         return state
 
-    def save(self):
-        return ckpt_lib.save_checkpoint(self.log_dir, self.epoch, self._state_pytree())
+    def save(self, epoch_tag=None):
+        path = ckpt_lib.save_checkpoint(
+            self.log_dir, self.epoch if epoch_tag is None else epoch_tag,
+            self._state_pytree())
+        # sidecar: tightening-gate state, so (a) resume samples exactly as an
+        # uninterrupted run (no re-arming window) and (b) eval knows whether
+        # tightening was ACTIVE at this checkpoint (eval/run.py load_occ_grid)
+        import json as _json
+
+        with open(os.path.join(path, "occ_sampling.json"), "w") as f:
+            _json.dump({"frac_hist": self._occ_frac_hist,
+                        "tighten_active": self._occ_for_sampling() is not None},
+                       f)
+        return path
 
     def restore(self, path):
         restored = ckpt_lib.restore_checkpoint(path, self._state_pytree())
@@ -294,6 +292,12 @@ class Trainer:
         if self.occ_grid is not None and "occ" in restored:
             self.occ_grid = self.occ_grid.replace(
                 occs=restored["occ"]["occs"], binaries=restored["occ"]["binaries"])
+        sidecar = os.path.join(path, "occ_sampling.json")
+        if os.path.exists(sidecar):
+            import json as _json
+
+            with open(sidecar) as f:
+                self._occ_frac_hist = [float(x) for x in _json.load(f)["frac_hist"]]
 
     # ---- training ----
 
@@ -332,21 +336,27 @@ class Trainer:
                 k = min(k, gate - step)
         return max(k, 1)
 
-    def _occ_grid_stable(self, window=5, tol=0.05):
-        """True once the occupied fraction has stopped moving (relative
-        drift < tol over the last `window` grid updates). A fixed step-count
-        warmup is NOT sufficient: on wide-envelope (IARPA-like) scenes the
-        grid at step 2000 is still wrong, and tightening onto it locks
-        training out of the recovery the uniform sampler achieves (tall-
-        scene A/B: 23-26 m MAE vs 2.5-3.2 m). The grid is trustworthy only
-        when it has converged."""
+    def _occ_grid_stable(self, window=5, tol=0.05, tol_drift=0.025):
+        """True once the occupied fraction has stopped moving. A fixed
+        step-count warmup is NOT sufficient: on wide-envelope (IARPA-like)
+        scenes the grid at step 2000 is still wrong, and tightening onto it
+        locks training out of the recovery the uniform sampler achieves
+        (tall-scene A/B: 23-26 m MAE vs 2.5-3.2 m). Two conditions:
+
+        - scatter: every entry of the last `window` within tol of the latest;
+        - cumulative drift: |h[-1] - h[-window]| / h[-window] < tol_drift —
+          a slow MONOTONIC drift (~1%/update) stays under the scatter
+          tolerance while the grid is still moving; update noise cancels in
+          the window-end difference, drift does not."""
         h = self._occ_frac_hist
         if len(h) < window:
             return False
         ref = h[-1]
-        if ref <= 0:
+        first = h[-window]
+        if ref <= 0 or first <= 0:
             return False
-        return max(abs(x - ref) for x in h[-window:]) / ref < tol
+        return (max(abs(x - ref) for x in h[-window:]) / ref < tol
+                and abs(ref - first) / first < tol_drift)
 
     def _occ_for_sampling(self, step=None):
         """The grid handed to the sampler: None until tightening is enabled,
@@ -493,7 +503,7 @@ class Trainer:
         # checkpoint is the one to evaluate
         if agg["mae"] and float(np.mean(agg["mae"])) < self.best_val_mae:
             self.best_val_mae = float(np.mean(agg["mae"]))
-            ckpt_lib.save_checkpoint(self.log_dir, "best", self._state_pytree())
+            self.save(epoch_tag="best")
             self.logger.scalar("val/best_mae", self.best_val_mae, self.step)
         self.logger.flush()
 

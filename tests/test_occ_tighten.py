@@ -188,6 +188,13 @@ def test_eval_restores_checkpointed_grid(tmp_path):
                  steps_per_call=2)
     tr = Trainer(cfg)
     tr.run(max_steps=2)
+    # the stability gate never opened in 2 steps -> this checkpoint trained
+    # UNtightened, so eval must not tighten either (advisor round-2 finding)
+    assert load_occ_grid(tr.log_dir, cfg) is None
+    # once the gate is open at save time, eval restores the grid
+    tr._occ_frac_hist = [0.5] * 6
+    assert tr._occ_for_sampling() is not None
+    tr.save()
     grid = load_occ_grid(tr.log_dir, cfg)
     assert grid is not None and grid.resolution == 16
     np.testing.assert_array_equal(np.asarray(grid.occs),
@@ -196,3 +203,15 @@ def test_eval_restores_checkpointed_grid(tmp_path):
                      img_dir=info["img_dir"], logs_dir=str(tmp_path / "logs"),
                      occ_tighten=False)
     assert load_occ_grid(tr.log_dir, cfg_off) is None
+
+    # resume is behavior-transparent: the gate history survives restore, so
+    # a resumed run samples tightened exactly like the uninterrupted one
+    import dataclasses
+    import os
+
+    cfg_resume = dataclasses.replace(
+        cfg, ckpt_path=os.path.join(tr.log_dir, "ckpts", "epoch=0"),
+        exp_name="resumed")
+    tr2 = Trainer(cfg_resume)
+    assert tr2._occ_frac_hist == [0.5] * 6
+    assert tr2._occ_for_sampling() is not None

@@ -72,6 +72,43 @@ class TestRasterQuirks:
         assert img[0, 0, 0] == 0.0
 
 
+class TestSceneRadiometricScale:
+    def test_one_scale_per_scene(self, scene_dir, tmp_path):
+        """Views of one sensor whose maxes straddle full-scale boundaries
+        (1000 / 1100 / 240 in uint16) must divide by the SAME scene-wide
+        scale (2047), not per-image scales (1023 / 2047 / 255) — per-image
+        inference produces 2-4x radiometric inconsistency across training
+        views (advisor round-2 medium finding)."""
+        import shutil
+
+        root = scene_dir["root_dir"]
+        root2 = str(tmp_path / "scene")
+        shutil.copytree(root, root2)
+        img_dir2 = str(tmp_path / "imgs")
+        shutil.copytree(scene_dir["img_dir"], img_dir2)
+        maxes = [1000.0, 1100.0, 240.0]
+        for name, m in zip(scene_dir["names"], maxes):
+            p = os.path.join(img_dir2, name + ".tif")
+            img = load_rgb_image(p)  # float [0,1]
+            u16 = np.round(img / max(img.max(), 1e-6) * m).astype(np.uint16)
+            write_geotiff(p, u16.transpose(2, 0, 1))
+        ds = SatelliteDataset(root2, img_dir2, split="train")
+        assert ds.radiometric_scale == 2047.0
+        # per-view maxes in the loaded pool reflect ONE divisor
+        rgb_max = [ds.all_rgbs[ds.all_ids_img[:, 0] == i].max()
+                   for i in range(len(maxes))]
+        for got, m in zip(rgb_max, maxes):
+            assert got == pytest.approx(m / 2047.0, rel=1e-3)
+        # cached: a second dataset instance reuses the stored scale
+        ds2 = SatelliteDataset(root2, img_dir2, split="train")
+        assert ds2.radiometric_scale == 2047.0
+
+    def test_uint8_scene_takes_trivial_path(self, scene_dir):
+        ds = SatelliteDataset(scene_dir["root_dir"], scene_dir["img_dir"],
+                              split="train")
+        assert ds.radiometric_scale is None
+
+
 class TestMetadataQuirks:
     def test_crlf_and_blank_lines_in_split(self, scene_dir, tmp_path):
         """train.txt exported from Windows tooling: CRLF endings, trailing
