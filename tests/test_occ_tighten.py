@@ -207,10 +207,11 @@ def test_eval_restores_checkpointed_grid(tmp_path):
     # resume is behavior-transparent: the gate history survives restore, so
     # a resumed run samples tightened exactly like the uninterrupted one
     import dataclasses
-    import os
+
+    from eonerf_code_tpu.train import checkpoints as ckpt_lib
 
     cfg_resume = dataclasses.replace(
-        cfg, ckpt_path=os.path.join(tr.log_dir, "ckpts", "epoch=0"),
+        cfg, ckpt_path=ckpt_lib.latest_checkpoint(tr.log_dir),
         exp_name="resumed")
     tr2 = Trainer(cfg_resume)
     assert tr2._occ_frac_hist == [0.5] * 6
