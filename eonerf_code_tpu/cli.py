@@ -69,6 +69,10 @@ def build_parser():
                    default=None, metavar="{true,false}",
                    help="fused Pallas field kernels (default: auto — on for "
                         "bf16 on TPU backends)")
+    g.add_argument("--data_axis", type=int, default=1,
+                   help="devices on the ray-batch mesh axis: N>1 shards the "
+                        "ray pool + every batch over N chips (gradient psum "
+                        "over ICI); -1 = all visible devices; 1 = single chip")
     g.add_argument("--lr_decay_steps", type=int, default=None,
                    help="decay lr per N steps instead of per epoch")
     g.add_argument("--first_shadow_step", type=int, default=None)

@@ -149,6 +149,19 @@ def gather_batch(device_data, idx):
 class Trainer:
     def __init__(self, cfg: TrainConfig, mesh=None):
         self.cfg = cfg
+        if mesh is None and cfg.data_axis != 1:
+            # user-facing multi-chip: --data_axis N builds the ("scene",
+            # "data") mesh right here, so `python train_eonerf.py
+            # --data_axis 8` is a sharded run with no programmatic setup
+            from eonerf_code_tpu.parallel.mesh import make_mesh
+
+            n = len(jax.devices()) if cfg.data_axis in (-1, 0) else cfg.data_axis
+            if len(jax.devices()) < n:
+                raise ValueError(
+                    f"data_axis={n} but only {len(jax.devices())} devices "
+                    "visible (for CPU testing set XLA_FLAGS="
+                    f"--xla_force_host_platform_device_count={n})")
+            mesh = make_mesh(n_data=n)
         self.mesh = mesh
         self.log_dir = cfg.log_dir()
         os.makedirs(self.log_dir, exist_ok=True)

@@ -1,0 +1,210 @@
+"""Intra-kernel cost isolation for the fused field FORWARD kernel.
+
+Times stripped-down kernel variants on-chip to attribute the gap between
+measured kernel time and the matmul speed-of-light:
+
+  full      - the production forward (PE + trunk + all heads)
+  trunk     - PE + trunk + sigma head only (density kernel shape)
+  nope      - trunk fed by a LINEAR 64-wide encoding (no sin/cos):
+              isolates the transcendental cost
+  norelu    - trunk without relu+cast between layers (pure matmul chain):
+              isolates the per-layer VPU relu/cast cost
+  nocast    - trunk with f32 activations end-to-end (no bf16 casts),
+              weights still bf16
+  mm_only   - 8 chained (T,256)x(256,256) matmuls w/ bf16 cast (the MXU
+              reference slab for efficiency accounting)
+
+Each runs `iters` chained invocations inside ONE jit (dispatch amortized,
+dependency-serialized). Prints ms/call and implied TFLOP/s.
+
+Usage: python scripts/bench_kernel_variants.py [n_points] [tile] [iters]
+"""
+
+import functools
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from eonerf_code_tpu.models.eonerf import EONerfField
+from eonerf_code_tpu.ops.pallas.fused_field import (
+    FieldWeights, N_WEIGHTS, _const_spec, _mm, _pe64_parts, _pe_pattern64,
+    _softplus, _tile_spec, _trunk_fwd, cast_matrices, density_subset,
+    flatten_weights, pack_params, unflatten_weights, _pad_pe_rows,
+    N_DENSITY_WEIGHTS,
+)
+
+DT = jnp.bfloat16
+
+
+def _lin64(x):
+    """Linear stand-in for the PE: same shapes/matmul, no sin/cos."""
+    xb = jax.lax.dot_general(x, _pe_pattern64(), (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    return xb
+
+
+def kernel_full(pos_ref, emb_ref, *rest):
+    weight_refs, out_ref = rest[:N_WEIGHTS], rest[N_WEIGHTS]
+    w = unflatten_weights([r[:] for r in weight_refs])
+    _, _, pe = _pe64_parts(pos_ref[:].astype(jnp.float32))
+    pe = pe.astype(DT)
+    h = _trunk_fwd(pe, w, DT)[-1]
+    sigma = _softplus(_mm(h, w.sigma_w, w.sigma_b))
+    bott = _mm(h, w.bott_w, w.bott_b).astype(DT)
+    ah = jnp.maximum(_mm(bott, w.alb_w0, w.alb_b0), 0.0).astype(DT)
+    albedo = jax.nn.sigmoid(_mm(ah, w.alb_w1, w.alb_b1))
+    emb64 = jnp.pad(emb_ref[:].astype(DT), ((0, 0), (0, 60)))
+    t = jnp.concatenate([bott, emb64], axis=-1)
+    for i in range(4):
+        t = jnp.maximum(_mm(t, w.tr_w[i], w.tr_b[i]), 0.0).astype(DT)
+    ts = jax.nn.sigmoid(_mm(t, w.ts_w, w.ts_b))
+    tb = _softplus(_mm(t, w.tb_w, w.tb_b))
+    pad = jnp.zeros_like(ts)
+    out_ref[:] = jnp.concatenate([sigma, albedo, ts, tb, pad, pad], axis=-1)
+
+
+def kernel_trunk(pos_ref, *rest):
+    weight_refs, out_ref = rest[:N_DENSITY_WEIGHTS], rest[N_DENSITY_WEIGHTS]
+    tw = [r[:] for r in weight_refs[:8]]
+    tb_ = [r[:] for r in weight_refs[8:16]]
+    sw, sb = weight_refs[16][:], weight_refs[17][:]
+    w = FieldWeights(tuple(tw), tuple(tb_), sw, sb, *([None] * 12))
+    _, _, pe = _pe64_parts(pos_ref[:].astype(jnp.float32))
+    h = _trunk_fwd(pe.astype(DT), w, DT)[-1]
+    out_ref[:] = _softplus(_mm(h, sw, sb))
+
+
+def kernel_nope(pos_ref, *rest):
+    weight_refs, out_ref = rest[:N_DENSITY_WEIGHTS], rest[N_DENSITY_WEIGHTS]
+    tw = [r[:] for r in weight_refs[:8]]
+    tb_ = [r[:] for r in weight_refs[8:16]]
+    sw, sb = weight_refs[16][:], weight_refs[17][:]
+    w = FieldWeights(tuple(tw), tuple(tb_), sw, sb, *([None] * 12))
+    pe = _lin64(pos_ref[:].astype(jnp.float32)).astype(DT)
+    h = _trunk_fwd(pe, w, DT)[-1]
+    out_ref[:] = _softplus(_mm(h, sw, sb))
+
+
+def kernel_norelu(pos_ref, *rest):
+    weight_refs, out_ref = rest[:N_DENSITY_WEIGHTS], rest[N_DENSITY_WEIGHTS]
+    tw = [r[:] for r in weight_refs[:8]]
+    tb_ = [r[:] for r in weight_refs[8:16]]
+    sw, sb = weight_refs[16][:], weight_refs[17][:]
+    w = FieldWeights(tuple(tw), tuple(tb_), sw, sb, *([None] * 12))
+    _, _, pe = _pe64_parts(pos_ref[:].astype(jnp.float32))
+    h = pe.astype(DT)
+    for i in range(8):
+        inp = jnp.concatenate([h, pe.astype(DT)], axis=-1) if i == 5 else h
+        h = _mm(inp, w.trunk_w[i], w.trunk_b[i]).astype(DT)
+    out_ref[:] = _softplus(_mm(h, sw, sb))
+
+
+def kernel_nocast(pos_ref, *rest):
+    weight_refs, out_ref = rest[:N_DENSITY_WEIGHTS], rest[N_DENSITY_WEIGHTS]
+    tw = [r[:] for r in weight_refs[:8]]
+    tb_ = [r[:] for r in weight_refs[8:16]]
+    sw, sb = weight_refs[16][:], weight_refs[17][:]
+    _, _, pe = _pe64_parts(pos_ref[:].astype(jnp.float32))
+    h = pe
+    for i in range(8):
+        inp = jnp.concatenate([h, pe], axis=-1) if i == 5 else h
+        pre = jax.lax.dot_general(inp.astype(DT), tw[i], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32) + tb_[i]
+        h = jnp.maximum(pre, 0.0)
+    out_ref[:] = _softplus(_mm(h.astype(DT), sw, sb))
+
+
+def kernel_mm_only(pos_ref, *rest):
+    # 8 chained 256x256 matmuls + cast; ignores pos except row count
+    weight_refs, out_ref = rest[:N_DENSITY_WEIGHTS], rest[N_DENSITY_WEIGHTS]
+    tw = [r[:] for r in weight_refs[:8]]
+    n = pos_ref.shape[0]
+    h = jnp.zeros((n, 256), DT) + pos_ref[0, 0].astype(DT)
+    for _ in range(8):
+        h = jax.lax.dot_general(h, tw[1], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32).astype(DT)
+    out_ref[:] = h[:, :1].astype(jnp.float32)
+
+
+def build(variant, n, tile):
+    field = EONerfField(n_images=10, compute_dtype=DT)
+    params = field.init(jax.random.PRNGKey(0), jnp.zeros((2, 3, 3)),
+                        jnp.zeros((2, 3)), jnp.zeros((2,), jnp.int32),
+                        method="init_all")
+    w = pack_params(params)
+    full = variant == "full"
+    if full:
+        flat = _pad_pe_rows(cast_matrices(flatten_weights(w), DT), with_transient=True)
+        kern, n_out = kernel_full, 8
+        kernel_args = 2
+    else:
+        flat = _pad_pe_rows(cast_matrices(density_subset(w), DT))
+        kern = {"trunk": kernel_trunk, "nope": kernel_nope,
+                "norelu": kernel_norelu, "nocast": kernel_nocast,
+                "mm_only": kernel_mm_only}[variant]
+        n_out = 1
+        kernel_args = 1
+
+    def fn(pos, emb):
+        ins = [pos, emb][:kernel_args]
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((n, n_out), jnp.float32),
+            grid=(n // tile,),
+            in_specs=[_tile_spec(tile, 3), _tile_spec(tile, 4)][:kernel_args]
+                     + [_const_spec(x.shape) for x in flat],
+            out_specs=_tile_spec(tile, n_out),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        )(*ins, *flat)
+
+    @jax.jit
+    def chained(pos, emb, iters_arr):
+        def body(c, _):
+            out = fn(pos + c, emb)
+            return jnp.float32(0.0) * jnp.sum(out[:1]), None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), iters_arr)
+        return c
+
+    return chained
+
+
+def flops(variant, n):
+    trunk = 2 * (64 * 256 + 6 * 256 * 256 + 320 * 256)
+    heads_full = 2 * (256 + 256 * 256 + 256 * 128 + 128 * 3
+                      + 320 * 128 + 3 * 128 * 128 + 2 * 128)
+    per_pt = {"full": trunk + heads_full, "trunk": trunk + 512,
+              "nope": trunk + 512, "norelu": trunk + 512,
+              "nocast": trunk + 512, "mm_only": 2 * 8 * 256 * 256}[variant]
+    return per_pt * n
+
+
+def main(n=1040384, tile=2048, iters=20):
+    n = (n // tile) * tile
+    key = jax.random.PRNGKey(1)
+    pos = jax.random.uniform(key, (n, 3), minval=-1, maxval=1)
+    emb = jax.random.normal(key, (n, 4))
+    iters_arr = jnp.zeros((iters,))
+    for variant in ("full", "trunk", "nope", "norelu", "nocast", "mm_only"):
+        chained = build(variant, n, tile)
+        c = chained(pos, emb, iters_arr)
+        _ = float(c)
+        t0 = time.perf_counter()
+        c = chained(pos, emb, iters_arr)
+        _ = float(c)
+        dt = (time.perf_counter() - t0) / iters
+        f = flops(variant, n)
+        print(f"{variant:8s} tile={tile}  {dt*1e3:7.2f} ms  "
+              f"{f/dt/1e12:6.1f} TFLOP/s  ({100*f/dt/1e12/197:4.1f}% peak)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:]]
+    main(*args)

@@ -64,6 +64,42 @@ def test_weak_scaling_loss_trajectory(scene, tmp_path):
         np.testing.assert_allclose(mesh8[s], single[s], rtol=2e-3, atol=1e-5)
 
 
+def test_data_axis_flag_builds_mesh(scene, tmp_path):
+    """The user surface: `--data_axis 8` alone (no programmatic mesh) must
+    shard the run over 8 devices — cfg flag -> CLI parse -> Trainer builds
+    the mesh itself."""
+    from eonerf_code_tpu.cli import config_from_args
+
+    argv = ["--root_dir", scene["root_dir"], "--img_dir", scene["img_dir"],
+            "--logs_dir", str(tmp_path), "--exp_name", "flag_mesh",
+            "--batch_size", "128", "--max_train_steps", "4",
+            "--n_samples", "16", "--fc_layers", "2", "--fc_units", "32",
+            "--data_axis", "8", "--steps_per_call", "2",
+            "--val_freq", str(10**9)]
+    cfg = config_from_args(argv)
+    assert cfg.data_axis == 8
+    cfg.occ_enabled = False
+    tr = Trainer(cfg)
+    assert tr.mesh is not None and tr.mesh.shape["data"] == 8
+    shards = {s.device for s in tr.device_data["rays"].addressable_shards}
+    assert len(shards) == 8
+    stats = tr.run(log_every=2)
+    assert stats["steps"] == 4
+    leaves = jax.tree_util.tree_leaves(tr.params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+
+def test_data_axis_all_devices(scene, tmp_path):
+    cfg = TrainConfig(root_dir=scene["root_dir"], img_dir=scene["img_dir"],
+                      logs_dir=str(tmp_path), exp_name="axis_auto",
+                      batch_size=128, max_train_steps=2, n_samples=8,
+                      net_depth=2, net_width=32, occ_enabled=False,
+                      val_freq=10**9, data_axis=-1)
+    tr = Trainer(cfg)
+    assert tr.mesh is not None
+    assert tr.mesh.shape["data"] == len(jax.devices())
+
+
 def test_trainer_mesh_with_pallas_kernels(scene, tmp_path):
     """Mesh + fused Pallas kernels (shard_map'ed, interpret on CPU): one
     megastep block runs and produces finite params. Uses the full 8x256
