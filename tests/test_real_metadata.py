@@ -195,3 +195,68 @@ class TestNativeAtScale:
         lon_p, lat_p = rpc.localization(cols, rows, alts)
         np.testing.assert_allclose(lon_n, lon_p, atol=1e-9)
         np.testing.assert_allclose(lat_n, lat_p, atol=1e-9)
+
+
+class TestRealFormatFullPipeline:
+    """One tiny train -> eval -> registered-MAE pass over a REAL-FORMAT
+    fixture scene: uint16 11-bit-payload imagery, CRLF/whitespace rosters,
+    fitted RPCs with real coefficient magnitudes (VERDICT r2 item 5) — so
+    first contact with DFC2019 exercises the whole stack, not just the
+    loader. Reference semantics: datasets/satellite.py:406-476,
+    eval_eonerf.py:251-381."""
+
+    @pytest.fixture(scope="class")
+    def real_format_scene(self, tmp_path_factory):
+        import shutil
+
+        from eonerf_code_tpu.io.image import load_rgb_image
+
+        base = str(tmp_path_factory.mktemp("realfmt_base"))
+        spec = SyntheticSceneSpec(n_views=3, n_test_views=1, img_size=40,
+                                  dsm_resolution=2.0)
+        info = generate_scene(base, spec)
+        # uint16 container, 11-bit payload (max ~1100 like real WorldView)
+        for name in info["names"]:
+            p = os.path.join(info["img_dir"], name + ".tif")
+            img = load_rgb_image(p)
+            u16 = np.round(img * 1100.0).astype(np.uint16)
+            write_geotiff(p, u16.transpose(2, 0, 1))
+        # CRLF + stray-whitespace rosters (Windows tooling exports)
+        for roster in ("train.txt", "test.txt"):
+            rp = os.path.join(info["root_dir"], roster)
+            with open(rp) as f:
+                names = [x for x in f.read().split("\n") if ".json" in x]
+            with open(rp, "w", newline="") as f:
+                f.write("\r\n".join(f"  {n} " for n in names) + "\r\n\r\n")
+        loc = os.path.join(info["root_dir"], "scene.loc_utm")
+        if os.path.exists(loc):
+            os.remove(loc)  # recompute from the mangled rosters
+        return info
+
+    def test_train_eval_registered_mae(self, real_format_scene, tmp_path):
+        from eonerf_code_tpu.config import TrainConfig
+        from eonerf_code_tpu.eval.run import eval_eonerf
+        from eonerf_code_tpu.train.loop import Trainer
+
+        info = real_format_scene
+        logs = str(tmp_path / "logs")
+        cfg = TrainConfig(
+            root_dir=info["root_dir"], img_dir=info["img_dir"],
+            gt_dir=info["gt_dir"], logs_dir=logs, exp_name="realfmt",
+            aoi_id=info["aoi_id"], batch_size=512, max_train_steps=400,
+            n_samples=32, net_depth=4, net_width=64, occ_enabled=False,
+            lr_decay_steps=300, first_shadow_step=250, first_beta_step=10**9,
+            val_freq=10_000, chunk=1600, seed=0)
+        tr = Trainer(cfg)
+        # the scene-wide scale engaged (uint16 payload, ~11-bit max)
+        assert tr.train_ds.radiometric_scale in (1023.0, 2047.0)
+        stats = tr.run(log_every=200)
+        assert stats["steps"] == 400
+
+        out = eval_eonerf("realfmt", logs, str(tmp_path / "eval"), dsm=True,
+                          gt_dir=info["gt_dir"], dsm_resolution=2.0)
+        assert os.path.exists(out["dsm_path"])
+        assert np.isfinite(out["mae"])
+        # smoke bound: a working geometry/registration stack on 400 CPU
+        # steps lands well under the ~10 m scale of a broken one
+        assert out["mae"] < 8.0, f"registered MAE implausibly high: {out['mae']:.2f} m"
