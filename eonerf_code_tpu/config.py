@@ -46,6 +46,20 @@ class TrainConfig:
     n_samples: int = 128
     n_importance: int = 0                # hierarchical fine samples (dead in
                                          # the reference; implemented here)
+    sampler: str = "auto"                # camera-sampling strategy:
+                                         #   auto         - pick from the scene's
+                                         #     altitude envelope: compact ->
+                                         #     occupancy tightening (A/B-validated
+                                         #     0.33 m @ ~1.5x speed), wide ->
+                                         #     hierarchical (tightening DIVERGES
+                                         #     there: grid<->sampler feedback
+                                         #     amplifies floaters, 22-30 m MAE)
+                                         #   uniform | tighten | hierarchical -
+                                         #     force a mode. Explicit occ_tighten
+                                         #     / n_importance flags always win.
+    occ_tighten_max_envelope_m: float = 60.0  # auto picks tightening only
+                                         # below this altitude envelope
+                                         # (validated at 34 m; diverges at 222 m)
     net_depth: int = 8                   # trunk depth (eonerf.py:73)
     net_width: int = 256                 # trunk width (eonerf.py:74)
     steps_per_call: int = 25             # train steps scanned inside one jit

@@ -235,6 +235,18 @@ class SatelliteDataset:
 
     # ---- ray/image loading ----
 
+    def alt_envelope(self):
+        """(min_alt, max_alt) over every view's metadata — the scene's
+        altitude envelope. Drives automatic sampler selection (compact
+        envelopes tolerate occupancy tightening; wide ones need hierarchical
+        sampling — STATUS.md round-2 finding)."""
+        los, his = [], []
+        for p in self.json_files:
+            lo, hi = alt_bounds(read_json(p))
+            los.append(lo)
+            his.append(hi)
+        return (min(los), max(his)) if los else (0.0, 0.0)
+
     def _scene_radiometric_scale(self):
         """Scene-wide radiometric divisor over the train + test rosters
         (None = trivial /255 path; cached next to the ray cache)."""

@@ -146,18 +146,54 @@ def _pe_pattern64():
     return jnp.where(hit, jnp.where(k < 3, 1.0, jnp.exp2(deg.astype(jnp.float32))), 0.0)
 
 
-def _pe64_parts(x):
-    """(sin64, cos64, pe64) for f32 x (N, 3); pe64 is (N, 64) f32 with
-    layout [x | sin(x 2^i) | cos(x 2^i) | 0] — values bit-identical to the
-    concat construction (same matmul args, same transcendentals, selects
-    only route lanes)."""
+def _pe_phase(col):
+    """Phase column vector turning one sin() into the [sin | cos] block:
+    cos(y) = sin(y + pi/2) on the cos lanes (33..62)."""
+    return jnp.where((col >= 33) & (col < 63), jnp.float32(jnp.pi / 2), 0.0)
+
+
+def _pe64(x, dtype=jnp.float32):
+    """pe64 (N, 64) f32 with layout [x | sin(x 2^i) | cos(x 2^i) | 0].
+
+    f32 compute: exact sin+cos — bit-identical to the flax encoder (the
+    parity contract). bf16 compute: ONE phased sin evaluates both blocks
+    (cos y = sin(y + pi/2)); the f32 rounding of y + pi/2 perturbs the
+    result by <=1e-4 absolute — two orders below the bf16 quantization the
+    activations immediately undergo — and halves the kernel's transcendental
+    cost (sin/cos were ~23% of the forward trunk kernel on v5e)."""
     xb = jax.lax.dot_general(x, _pe_pattern64(), (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, xb.shape, 1)
-    s, c = jnp.sin(xb), jnp.cos(xb)
-    pe = jnp.where(col < 3, xb, jnp.where(col < 33, s,
-                   jnp.where(col < 63, c, 0.0)))
-    return s, c, pe
+    if dtype == jnp.float32:
+        s, c = jnp.sin(xb), jnp.cos(xb)
+        return jnp.where(col < 3, xb, jnp.where(col < 33, s,
+                         jnp.where(col < 63, c, 0.0)))
+    a1 = jnp.sin(xb + _pe_phase(col))
+    return jnp.where(col < 3, xb, jnp.where(col < 63, a1, 0.0))
+
+
+def _pe64_with_deriv(x, dtype=jnp.float32):
+    """(pe64, deriv64) for the backward: deriv is d(pe)/d(arg) per lane,
+    [1 | cos | -sin | 0]. Same exact/phased split as _pe64; the phased path
+    gets the derivative from a second phased sin (sin(y + phase + pi/2) =
+    [cos | -sin] on the two blocks) — same 2-transcendental budget as the
+    exact path."""
+    xb = jax.lax.dot_general(x, _pe_pattern64(), (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, xb.shape, 1)
+    if dtype == jnp.float32:
+        s, c = jnp.sin(xb), jnp.cos(xb)
+        pe = jnp.where(col < 3, xb, jnp.where(col < 33, s,
+                       jnp.where(col < 63, c, 0.0)))
+        deriv = jnp.where(col < 3, 1.0, jnp.where(col < 33, c,
+                          jnp.where(col < 63, -s, 0.0)))
+        return pe, deriv
+    phase = _pe_phase(col)
+    a1 = jnp.sin(xb + phase)
+    a2 = jnp.sin(xb + phase + jnp.float32(jnp.pi / 2))
+    pe = jnp.where(col < 3, xb, jnp.where(col < 63, a1, 0.0))
+    deriv = jnp.where(col < 3, 1.0, jnp.where(col < 63, a2, 0.0))
+    return pe, deriv
 
 
 def _mm(a, w, b=None):
@@ -241,16 +277,13 @@ def _trunk_bwd(pe_cd, acts, masks, g_h, w: FieldWeights, dtype, dws, dbs):
     return g_pe
 
 
-def _pe64_bwd(sin64, cos64, g_pe):
-    """d(pe64)/d(x): per-column derivative [1 | cos | -sin | 0] applied as a
-    lane-aligned select+multiply, then one tiny matmul by B^T — no strided
+def _pe64_bwd(deriv64, g_pe):
+    """d(pe64)/d(x): the per-lane derivative (from _pe64_with_deriv) applied
+    as a lane-aligned multiply, then one tiny matmul by B^T — no strided
     slices. g_pe arrives in the compute dtype (the trunk chain), promoted by
     the f32 derivative multiply."""
-    col = jax.lax.broadcasted_iota(jnp.int32, sin64.shape, 1)
-    deriv = jnp.where(col < 3, 1.0, jnp.where(col < 33, cos64,
-                      jnp.where(col < 63, -sin64, 0.0)))
     return jax.lax.dot_general(
-        g_pe.astype(jnp.float32) * deriv, _pe_pattern64(),
+        g_pe.astype(jnp.float32) * deriv64, _pe_pattern64(),
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
 
 
@@ -261,8 +294,7 @@ def _pe64_bwd(sin64, cos64, g_pe):
 def _field_fwd_kernel(dtype, pos_ref, emb_ref, *rest):
     weight_refs, out_ref = rest[:N_WEIGHTS], rest[N_WEIGHTS]
     w = unflatten_weights([r[:] for r in weight_refs])
-    _, _, pe = _pe64_parts(pos_ref[:].astype(jnp.float32))
-    pe = pe.astype(dtype)
+    pe = _pe64(pos_ref[:].astype(jnp.float32), dtype).astype(dtype)
     h = _trunk_fwd(pe, w, dtype)[-1]
     sigma = _softplus(_mm(h, w.sigma_w, w.sigma_b))
     bott = _mm(h, w.bott_w, w.bott_b).astype(dtype)
@@ -288,7 +320,7 @@ def _field_bwd_kernel(dtype, pos_ref, emb_ref, g_ref, *rest):
     # ---- recompute forward, keeping activations + relu masks (dtype) ----
     x = pos_ref[:].astype(jnp.float32)
     emb = jnp.pad(emb_ref[:].astype(dtype), ((0, 0), (0, 60)))
-    sxb, cxb, pe_f32 = _pe64_parts(x)
+    pe_f32, deriv64 = _pe64_with_deriv(x, dtype)
     pe = pe_f32.astype(dtype)
     acts, masks = _trunk_fwd(pe, w, dtype, with_masks=True)
     h = acts[-1]
@@ -356,7 +388,7 @@ def _field_bwd_kernel(dtype, pos_ref, emb_ref, g_ref, *rest):
     trunk_db = [None] * 8
     g_pe = _trunk_bwd(pe, acts, masks, g_h, w, dtype, trunk_dw, trunk_db)
 
-    dpos_ref[:] = _pe64_bwd(sxb, cxb, g_pe)
+    dpos_ref[:] = _pe64_bwd(deriv64, g_pe)
     demb_ref[:] = g_emb
 
     contribs = (trunk_dw + trunk_db
@@ -381,8 +413,7 @@ def _density_fwd_kernel(dtype, pos_ref, *rest):
     tb = [r[:] for r in weight_refs[8:16]]
     sw, sb = weight_refs[16][:], weight_refs[17][:]
     w = FieldWeights(tuple(tw), tuple(tb), sw, sb, *([None] * 12))
-    _, _, pe = _pe64_parts(pos_ref[:].astype(jnp.float32))
-    pe = pe.astype(dtype)
+    pe = _pe64(pos_ref[:].astype(jnp.float32), dtype).astype(dtype)
     h = _trunk_fwd(pe, w, dtype)[-1]
     sigma = _softplus(_mm(h, sw, sb))
     out_ref[:] = sigma
@@ -399,7 +430,7 @@ def _density_bwd_kernel(dtype, pos_ref, g_ref, *rest):
     w = FieldWeights(tuple(tw), tuple(tb), sw, sb, *([None] * 12))
 
     x = pos_ref[:].astype(jnp.float32)
-    sxb, cxb, pe_f32 = _pe64_parts(x)
+    pe_f32, deriv64 = _pe64_with_deriv(x, dtype)
     pe = pe_f32.astype(dtype)
     acts, masks = _trunk_fwd(pe, w, dtype, with_masks=True)
     h = acts[-1]
@@ -414,7 +445,7 @@ def _density_bwd_kernel(dtype, pos_ref, g_ref, *rest):
     trunk_dw = [None] * 8
     trunk_db = [None] * 8
     g_pe = _trunk_bwd(pe, acts, masks, g_h, w, dtype, trunk_dw, trunk_db)
-    dpos_ref[:] = _pe64_bwd(sxb, cxb, g_pe)
+    dpos_ref[:] = _pe64_bwd(deriv64, g_pe)
 
     contribs = trunk_dw + trunk_db + [dsw, dsb]
     first = pl.program_id(0) == 0

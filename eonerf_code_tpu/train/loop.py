@@ -165,8 +165,6 @@ class Trainer:
         self.mesh = mesh
         self.log_dir = cfg.log_dir()
         os.makedirs(self.log_dir, exist_ok=True)
-        cfg.save(os.path.join(self.log_dir, "opts.json"))
-        self.logger = MetricsLogger(self.log_dir)
 
         # ---- data ----
         self.train_ds = SatelliteDataset(
@@ -179,6 +177,12 @@ class Trainer:
             utm=not cfg.ecef, cache_dir=cfg.cache_dir)
         self.n_rays = self.train_ds.all_rays.shape[0]
         self.n_images = len(self.train_ds.json_files)
+
+        # sampler selection happens BEFORE opts.json is written, so eval
+        # reloads the RESOLVED sampling configuration, never re-guesses
+        self._resolve_sampler()
+        cfg.save(os.path.join(self.log_dir, "opts.json"))
+        self.logger = MetricsLogger(self.log_dir)
 
         self.steps_per_epoch = max(self.n_rays // cfg.batch_size, 1)
         self.val_freq = cfg.val_freq or self.steps_per_epoch  # reference :180
@@ -271,6 +275,53 @@ class Trainer:
         self._occ_frac_hist = []
         if cfg.ckpt_path:
             self.restore(cfg.ckpt_path)
+
+    # ---- sampler selection ----
+
+    def _resolve_sampler(self):
+        """Resolve cfg.sampler into concrete sampling flags, in place.
+
+        Explicit flags always win (occ_tighten / n_importance set by the
+        user or by reloaded opts.json). `auto` picks from the scene's
+        altitude envelope (data/satellite.py alt_envelope): occupancy
+        tightening is A/B-validated on compact envelopes (0.33 m at ~1.5x
+        speed at 34 m) but reproducibly DIVERGES on wide ones (22-30 m at
+        222 m: the grid<->sampler feedback amplifies floaters while the
+        geometry is unresolved — STATUS.md round-2 finding), where
+        hierarchical sampling is the validated tool (2.28 m).
+
+        The resolved values are written back into cfg BEFORE opts.json is
+        saved, so eval and resume reload concrete flags and never re-guess.
+        """
+        cfg = self.cfg
+        if cfg.occ_tighten or cfg.n_importance > 0 or cfg.sampler == "uniform":
+            mode = ("tighten" if cfg.occ_tighten else
+                    "hierarchical" if cfg.n_importance > 0 else "uniform")
+            cfg.sampler = mode
+            return mode
+        mode = cfg.sampler
+        if mode == "auto":
+            lo, hi = self.train_ds.alt_envelope()
+            if (hi - lo) <= cfg.occ_tighten_max_envelope_m:
+                # compact: tightening when the grid exists, else the plain
+                # uniform sampler (the validated compact baseline)
+                mode = "tighten" if cfg.occ_enabled else "uniform"
+            else:
+                mode = "hierarchical"
+        if mode == "tighten":
+            if not cfg.occ_enabled:
+                mode = "uniform"  # tightening needs the grid
+            else:
+                cfg.occ_tighten = True
+        elif mode == "hierarchical":
+            # the validated wide-envelope configuration shape: 3/4 coarse
+            # samples + half-of-coarse importance samples (48+32 at n=64)
+            cfg.n_samples = max((3 * cfg.n_samples) // 4, 8)
+            cfg.n_importance = max(cfg.n_samples // 2, 4)
+        elif mode != "uniform":
+            raise ValueError(f"unknown sampler mode {mode!r}")
+        cfg.sampler = mode
+        return mode
 
     # ---- checkpointing ----
 

@@ -29,11 +29,15 @@ from eonerf_code_tpu.data.synthetic import SyntheticSceneSpec, generate_scene  #
 from eonerf_code_tpu.train.loop import Trainer  # noqa: E402
 
 ARMS = {
-    "base96": dict(n_samples=96, occ_enabled=False, occ_tighten=False),
+    "base96": dict(n_samples=96, occ_enabled=False, sampler="uniform"),
     "tight48": dict(n_samples=48, occ_enabled=True, occ_tighten=True),
     "tight96": dict(n_samples=96, occ_enabled=True, occ_tighten=True),
+    # DEFAULT config (sampler="auto"): resolves per scene envelope —
+    # tighten on the compact scene, hierarchical on --tall
+    "auto96": dict(n_samples=96),
+    "auto64": dict(n_samples=64),
     # wide-envelope (--tall) arms
-    "uniform64": dict(n_samples=64, occ_enabled=False, occ_tighten=False),
+    "uniform64": dict(n_samples=64, occ_enabled=False, sampler="uniform"),
     "tight64": dict(n_samples=64, occ_enabled=True, occ_tighten=True),
     "imp48+32": dict(n_samples=48, n_importance=32, occ_enabled=False),
 }
@@ -58,7 +62,9 @@ def run_arm(scene, workdir, name, steps):
     pred = trainer.render_view(sample, depth_only=True)
     mae = trainer._val_mae(sample, pred)
     print(f"ARM {name}: MAE={mae:.3f} m  rays/s={stats['rays_per_sec']:,.0f}  "
-          f"wall={time.time()-t0:.0f}s", flush=True)
+          f"wall={time.time()-t0:.0f}s  [resolved sampler={cfg.sampler} "
+          f"n={cfg.n_samples}+{cfg.n_importance} tighten={cfg.occ_tighten}]",
+          flush=True)
     return mae
 
 
@@ -68,8 +74,8 @@ def main(workdir="/tmp/eonerf_ab_occ", steps="10000", *arms):
     tall = "--tall" in arms
     arms = [a for a in arms if a != "--tall"]
     if not arms:
-        arms = (["uniform64", "tight64", "imp48+32"] if tall
-                else ["base96", "tight48", "tight96"])
+        arms = (["uniform64", "auto64", "imp48+32"] if tall
+                else ["base96", "auto96", "tight96"])
     if tall:
         spec = SyntheticSceneSpec(
             n_views=10, n_test_views=2, img_size=320, extent=400.0,

@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from eonerf_code_tpu.models.eonerf import EONerfField
 from eonerf_code_tpu.ops.pallas.fused_field import (
-    FieldWeights, N_WEIGHTS, _const_spec, _mm, _pe64_parts, _pe_pattern64,
+    FieldWeights, N_WEIGHTS, _const_spec, _mm, _pe64, _pe_pattern64,
     _softplus, _tile_spec, _trunk_fwd, cast_matrices, density_subset,
     flatten_weights, pack_params, unflatten_weights, _pad_pe_rows,
     N_DENSITY_WEIGHTS,
@@ -52,8 +52,7 @@ def _lin64(x):
 def kernel_full(pos_ref, emb_ref, *rest):
     weight_refs, out_ref = rest[:N_WEIGHTS], rest[N_WEIGHTS]
     w = unflatten_weights([r[:] for r in weight_refs])
-    _, _, pe = _pe64_parts(pos_ref[:].astype(jnp.float32))
-    pe = pe.astype(DT)
+    pe = _pe64(pos_ref[:].astype(jnp.float32), DT).astype(DT)
     h = _trunk_fwd(pe, w, DT)[-1]
     sigma = _softplus(_mm(h, w.sigma_w, w.sigma_b))
     bott = _mm(h, w.bott_w, w.bott_b).astype(DT)
@@ -75,7 +74,7 @@ def kernel_trunk(pos_ref, *rest):
     tb_ = [r[:] for r in weight_refs[8:16]]
     sw, sb = weight_refs[16][:], weight_refs[17][:]
     w = FieldWeights(tuple(tw), tuple(tb_), sw, sb, *([None] * 12))
-    _, _, pe = _pe64_parts(pos_ref[:].astype(jnp.float32))
+    pe = _pe64(pos_ref[:].astype(jnp.float32), DT)
     h = _trunk_fwd(pe.astype(DT), w, DT)[-1]
     out_ref[:] = _softplus(_mm(h, sw, sb))
 
@@ -97,7 +96,7 @@ def kernel_norelu(pos_ref, *rest):
     tb_ = [r[:] for r in weight_refs[8:16]]
     sw, sb = weight_refs[16][:], weight_refs[17][:]
     w = FieldWeights(tuple(tw), tuple(tb_), sw, sb, *([None] * 12))
-    _, _, pe = _pe64_parts(pos_ref[:].astype(jnp.float32))
+    pe = _pe64(pos_ref[:].astype(jnp.float32), DT)
     h = pe.astype(DT)
     for i in range(8):
         inp = jnp.concatenate([h, pe.astype(DT)], axis=-1) if i == 5 else h
@@ -110,7 +109,7 @@ def kernel_nocast(pos_ref, *rest):
     tw = [r[:] for r in weight_refs[:8]]
     tb_ = [r[:] for r in weight_refs[8:16]]
     sw, sb = weight_refs[16][:], weight_refs[17][:]
-    _, _, pe = _pe64_parts(pos_ref[:].astype(jnp.float32))
+    pe = _pe64(pos_ref[:].astype(jnp.float32))
     h = pe
     for i in range(8):
         inp = jnp.concatenate([h, pe], axis=-1) if i == 5 else h
@@ -132,6 +131,32 @@ def kernel_mm_only(pos_ref, *rest):
     out_ref[:] = h[:, :1].astype(jnp.float32)
 
 
+def _mm_interleaved(pos_ref, weight_refs, out_ref, nsub):
+    """Same chained matmuls, but the tile is split into nsub row-blocks and
+    each layer runs over ALL blocks before advancing — consecutive matmuls
+    share the stationary weight and independent chains can overlap
+    MXU/VPU."""
+    tw = [r[:] for r in weight_refs[:8]]
+    n = pos_ref.shape[0]
+    s = n // nsub
+    hs = [jnp.zeros((s, 256), DT) + pos_ref[i * s, 0].astype(DT)
+          for i in range(nsub)]
+    for _ in range(8):
+        hs = [jax.lax.dot_general(h, tw[1], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32).astype(DT)
+              for h in hs]
+    out = jnp.concatenate([h[:, :1] for h in hs], axis=0)
+    out_ref[:] = out.astype(jnp.float32)
+
+
+def kernel_mm_int2(pos_ref, *rest):
+    _mm_interleaved(pos_ref, rest[:N_DENSITY_WEIGHTS], rest[N_DENSITY_WEIGHTS], 2)
+
+
+def kernel_mm_int4(pos_ref, *rest):
+    _mm_interleaved(pos_ref, rest[:N_DENSITY_WEIGHTS], rest[N_DENSITY_WEIGHTS], 4)
+
+
 def build(variant, n, tile):
     field = EONerfField(n_images=10, compute_dtype=DT)
     params = field.init(jax.random.PRNGKey(0), jnp.zeros((2, 3, 3)),
@@ -147,7 +172,8 @@ def build(variant, n, tile):
         flat = _pad_pe_rows(cast_matrices(density_subset(w), DT))
         kern = {"trunk": kernel_trunk, "nope": kernel_nope,
                 "norelu": kernel_norelu, "nocast": kernel_nocast,
-                "mm_only": kernel_mm_only}[variant]
+                "mm_only": kernel_mm_only, "mm_int2": kernel_mm_int2,
+                "mm_int4": kernel_mm_int4}[variant]
         n_out = 1
         kernel_args = 1
 
@@ -166,8 +192,8 @@ def build(variant, n, tile):
     @jax.jit
     def chained(pos, emb, iters_arr):
         def body(c, _):
-            out = fn(pos + c, emb)
-            return jnp.float32(0.0) * jnp.sum(out[:1]), None
+            out = fn(pos * (1.0 + c * 1e-20), emb)
+            return out[0, 0] * 1e-20, None
 
         c, _ = jax.lax.scan(body, jnp.float32(0.0), iters_arr)
         return c
@@ -181,17 +207,22 @@ def flops(variant, n):
                       + 320 * 128 + 3 * 128 * 128 + 2 * 128)
     per_pt = {"full": trunk + heads_full, "trunk": trunk + 512,
               "nope": trunk + 512, "norelu": trunk + 512,
-              "nocast": trunk + 512, "mm_only": 2 * 8 * 256 * 256}[variant]
+              "nocast": trunk + 512, "mm_only": 2 * 8 * 256 * 256,
+              "mm_int2": 2 * 8 * 256 * 256,
+              "mm_int4": 2 * 8 * 256 * 256}[variant]
     return per_pt * n
 
 
-def main(n=1040384, tile=2048, iters=20):
+def main(n=1040384, tile=2048, iters=10, only=None):
     n = (n // tile) * tile
     key = jax.random.PRNGKey(1)
     pos = jax.random.uniform(key, (n, 3), minval=-1, maxval=1)
     emb = jax.random.normal(key, (n, 4))
     iters_arr = jnp.zeros((iters,))
-    for variant in ("full", "trunk", "nope", "norelu", "nocast", "mm_only"):
+    variants = only.split(",") if only else (
+        "full", "trunk", "nope", "norelu", "nocast", "mm_only")
+    for variant in variants:
+        print(f"building {variant}...", flush=True)
         chained = build(variant, n, tile)
         c = chained(pos, emb, iters_arr)
         _ = float(c)
@@ -206,5 +237,11 @@ def main(n=1040384, tile=2048, iters=20):
 
 
 if __name__ == "__main__":
-    args = [int(a) for a in sys.argv[1:]]
-    main(*args)
+    only = None
+    args = []
+    for a in sys.argv[1:]:
+        if a.isdigit():
+            args.append(int(a))
+        else:
+            only = a
+    main(*args, only=only)
