@@ -23,6 +23,31 @@ import time
 import numpy as np
 
 A100_BASELINE_RAYS_PER_SEC = 10_000.0
+PEAK_BF16_TFLOPS = {"v5 lite": 197.0, "v5e": 197.0, "v4": 275.0,
+                    "v5p": 459.0, "v6": 918.0}
+
+
+def model_flops_per_ray(n_samples=128):
+    """Matmul FLOPs per ray for one full train step (LOGICAL model flops,
+    not padded kernel flops — the honest MFU numerator). Camera pass runs
+    trunk+all heads, shadow pass trunk+sigma; backward = recompute + dgrad
+    + wgrad = 3x forward on top of the forward itself."""
+    k = n_samples - 1
+    trunk = 63 * 256 + 6 * 256 * 256 + 319 * 256
+    heads = (256 * 1 + 256 * 256            # sigma + bottleneck
+             + 256 * 128 + 128 * 3          # albedo mlp
+             + 260 * 128 + 3 * 128 * 128    # transient mlp
+             + 128 * 2)                     # ts + tb
+    cam = 2 * (trunk + heads) * k
+    sh = 2 * (trunk + 256) * k
+    return 4 * (cam + sh)  # fwd + 3x-fwd backward
+
+
+def device_peak_tflops(device_str):
+    for key, peak in PEAK_BF16_TFLOPS.items():
+        if key in device_str.lower():
+            return peak
+    return None
 
 
 def build_step(n_images=10, n_samples=128, compute_dtype="bfloat16", scan_steps=20):
@@ -139,6 +164,10 @@ def main():
         return
     best_bs = max(valid, key=valid.get)
     best = valid[best_bs]
+    device = str(jax.devices()[0])
+    fpr = model_flops_per_ray(128)
+    tflops = best * fpr / 1e12
+    peak = device_peak_tflops(device)
     out = {
         "metric": "train_rays_per_sec_per_chip",
         "value": round(best, 1),
@@ -147,9 +176,15 @@ def main():
         "baseline_note": "estimated A100 PyTorch EO-NeRF throughput (reference publishes none)",
         "batch_size": best_bs,
         "by_batch_size": {str(k): (round(v, 1) if v else None) for k, v in results.items()},
-        "device": str(jax.devices()[0]),
+        "device": device,
         "n_samples": 128,
         "shadows": True,
+        # FLOP-counted efficiency: logical model matmul flops (fwd + 3x-fwd
+        # backward, camera + shadow passes), NOT padded kernel flops
+        "model_flops_per_ray": fpr,
+        "model_tflops_per_sec": round(tflops, 1),
+        "mfu_vs_bf16_peak": (round(tflops / peak, 3) if peak else None),
+        "peak_bf16_tflops_assumed": peak,
     }
     print(json.dumps(out))
 

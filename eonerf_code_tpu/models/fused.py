@@ -64,6 +64,24 @@ class PallasField:
         self._fused_density = make_fused_density(dtype, tile, bwd_tile, interpret,
                                                  vmem_limit_mb=vmem_limit_mb,
                                                  mesh=mesh, data_axis=data_axis)
+        # v3 fused render ops: field + volume compositing in one kernel with
+        # per-ray I/O (ops/pallas/fused_render.py); render_rays dispatches
+        # to them via supports_fused_render
+        from eonerf_code_tpu.ops.pallas.fused_render import (
+            make_fused_camera,
+            make_fused_shadow,
+        )
+
+        self.fused_camera = make_fused_camera(
+            dtype, tile_target=tile, bwd_tile_target=bwd_tile,
+            interpret=interpret, vmem_limit_mb=max(vmem_limit_mb or 0, 64),
+            mesh=mesh, data_axis=data_axis)
+        self.fused_shadow = make_fused_shadow(
+            dtype, tile_target=tile, bwd_tile_target=bwd_tile,
+            interpret=interpret, vmem_limit_mb=max(vmem_limit_mb or 0, 64),
+            mesh=mesh, data_axis=data_axis)
+        self.pack = pack_params
+        self.supports_fused_render = True
 
     def apply(self, params, *args, method=None):
         if method in ("radiometric", "ray_offset", "ambient"):

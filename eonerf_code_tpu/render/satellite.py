@@ -177,7 +177,15 @@ def render_rays(field, params, rays: SatRays, key, cfg: RenderConfig,
 
     Returns a dict of per-ray outputs matching the reference's result keys
     (sat_rendering.py:322-334).
+
+    Fields exposing fused render ops (PallasField) take the fused path:
+    field evaluation AND volume compositing run inside the Pallas kernels
+    with per-ray I/O (ops/pallas/fused_render.py) — same math, same keys.
     """
+    if (getattr(field, "supports_fused_render", False)
+            and not cfg.compute_entropy and not cfg.nadir_diagnostics):
+        return _render_rays_fused(field, params, rays, key, cfg, shadows,
+                                  occ_grid=occ_grid)
     k_cam, k_sc = jax.random.split(key)
     d, sun_d = rays.viewdirs, rays.sundirs
     o = _corrected_origins(field, params, rays)
@@ -270,6 +278,92 @@ def render_rays(field, params, rays: SatRays, key, cfg: RenderConfig,
         "sc_pts_per_ray": sc_pts,
         "opacity": opacity[:, None],
         "opacity_after_surface": opacity_after_surface,
+        "shadowless_rgb": shadowless_rgb,
+    }
+
+
+def _render_rays_fused(field, params, rays: SatRays, key, cfg: RenderConfig,
+                       shadows: bool, occ_grid=None):
+    """The fused-kernel twin of render_rays: sampling and the per-ray
+    composite stay in XLA; the per-SAMPLE work (field evaluation + volume
+    compositing) runs inside the fused Pallas ops with per-ray I/O. Output
+    keys and semantics match render_rays (entropy/nadir diagnostics are the
+    two opt-in extras that force the per-sample path)."""
+    k_cam, k_sc = jax.random.split(key)
+    d, sun_d = rays.viewdirs, rays.sundirs
+    o = _corrected_origins(field, params, rays)
+    near = rays.t_near
+    r = o.shape[0]
+
+    # ---- camera pass ----
+    z_mid, delta, pos, mask = _camera_samples(field, params, o, d, near, k_cam,
+                                              cfg, occ_grid=occ_grid)
+    if occ_grid is not None and not cfg.occ_tighten:
+        mask = mask & occ_grid.query(pos)
+    deltam = set_last_valid(delta, mask, cfg.inf_delta) * mask
+
+    w = field.pack(params)
+    emb = params["params"]["transient_encoder"]["embedding"][rays.img_idx]
+    rayin = jnp.concatenate([o, d, emb, jnp.zeros((r, 6), o.dtype)], axis=1)
+    acc = field.fused_camera(w, rayin, z_mid, deltam)
+    depth = acc[:, 0]
+    albedo_acc = acc[:, 1:4]
+    t_s_acc = acc[:, 4:5]
+    beta_acc = acc[:, 5:6] + field.beta_min
+    opacity = acc[:, 6]
+    ambient = field.apply(params, sun_d, method="ambient")
+    ambient_acc = ambient * opacity[:, None] * cfg.ambient_scale
+
+    # ---- geometric shadow pass ----
+    if shadows:
+        sc_o = o + depth[:, None] * d
+        sc_d = -sun_d
+        sc_near = jnp.zeros_like(near)
+        if occ_grid is not None and cfg.occ_tighten_shadows:
+            sc_lo, sc_hi = occ_grid.ray_span(
+                jax.lax.stop_gradient(sc_o), sc_d, sc_near, cfg.ray_span,
+                n_probes=cfg.occ_probes, margin=cfg.occ_margin)
+            sc_lo, sc_hi = _with_exploration(
+                jax.random.fold_in(k_sc, 7), sc_lo, sc_hi,
+                sc_near, sc_near + cfg.ray_span, cfg.occ_explore_frac)
+        else:
+            sc_lo, sc_hi = sc_near, None
+        _, sc_z, sc_delta, sc_mask = _sample_block(
+            k_sc, jax.lax.stop_gradient(sc_o), sc_d, sc_lo, cfg.sc_n_samples,
+            cfg.ray_span, cfg.perturb, cfg.cube_bound, far=sc_hi)
+        rayin_sc = jnp.concatenate(
+            [sc_o, sc_d, jnp.zeros((r, 10), o.dtype)], axis=1)
+        geo = field.fused_shadow(w, rayin_sc, sc_z, sc_delta * sc_mask,
+                                 sc_mask.astype(jnp.float32))
+        geo_shadow = geo[:, None]
+        s = geo_shadow * t_s_acc
+        sc_pts = jnp.sum(sc_mask, axis=-1).astype(albedo_acc.dtype)[:, None]
+    else:
+        geo_shadow = jnp.ones_like(t_s_acc)
+        s = geo_shadow  # NOT multiplied by transient_s before epoch 2
+        sc_pts = jnp.ones_like(t_s_acc)
+
+    # ---- irradiance + radiometric composite (same as render_rays) ----
+    rgb = albedo_acc * s + (1.0 - s) * (ambient_acc * albedo_acc)
+    a_coef, b_coef, _ambient_bias = field.apply(params, rays.img_idx,
+                                                method="radiometric")
+    rgb = jnp.clip(a_coef * rgb + b_coef, 0.0, 1.0)
+    shadowless_rgb = a_coef * albedo_acc + b_coef
+
+    pts = jnp.sum(mask, axis=-1).astype(albedo_acc.dtype)[:, None]
+    return {
+        "rgb": rgb,
+        "depth": depth[:, None],
+        "albedo_rgb": albedo_acc,
+        "ambient_rgb": ambient_acc,
+        "geo_shadows": geo_shadow,
+        "transient_s": t_s_acc,
+        "beta": beta_acc,
+        "entropy": jnp.ones_like(depth[:, None]),
+        "pts_per_ray": pts,
+        "sc_pts_per_ray": sc_pts,
+        "opacity": opacity[:, None],
+        "opacity_after_surface": jnp.ones((r, 2), albedo_acc.dtype),
         "shadowless_rgb": shadowless_rgb,
     }
 
