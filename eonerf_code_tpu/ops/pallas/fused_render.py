@@ -37,9 +37,11 @@ which reproduces the reference's point-removal semantics).
 
 Segment layout: rays x samples tiles with K padded to KPAD (multiple of
 128); row r*KPAD+k of the point axis is sample k of ray r. Scans run in
-the (RT, KPAD) domain (lanes = samples) after one in-kernel reshape of the
-sigma column; per-ray reductions and per-ray-to-per-sample broadcasts are
-matmuls against a 0/1 selector built from iota.
+the (RT, KPAD) domain (lanes = samples); per-ray reductions,
+per-ray-to-per-sample broadcasts, and the (nt,1)<->(rt,kpad) domain moves
+are all matmuls against 0/1 selectors built from iota (Mosaic has no shape
+cast between those vector shapes, and strided relayouts are the expensive
+path on the VPU).
 """
 
 import functools
@@ -89,6 +91,28 @@ def _expand(sel, per_ray):
     """per-ray (rt, C) -> per-sample (nt, C)."""
     return jax.lax.dot_general(sel, per_ray, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
+
+
+def _onehot_k(nt, kpad):
+    """(nt, kpad) 0/1 f32: row i hits lane i % kpad (its own sample slot)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (nt, kpad), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (nt, kpad), 1)
+    return (i % kpad == k).astype(jnp.float32)
+
+
+def _col_to_rk(sel, col, kpad):
+    """per-sample column (nt, 1) -> (rt, kpad) rays-x-samples. Mosaic has no
+    (nt,1)<->(rt,kpad) shape cast, so route through a matmul: mask the
+    column onto its sample lane and segment-sum the rows."""
+    return _reduce_rays(sel, col * _onehot_k(col.shape[0], kpad))
+
+
+def _rk_to_col(sel, rk):
+    """(rt, kpad) -> per-sample column (nt, 1): broadcast each ray's row to
+    its samples, then select the own-sample lane."""
+    nt = sel.shape[0]
+    wide = _expand(sel, rk)
+    return jnp.sum(wide * _onehot_k(nt, rk.shape[1]), axis=1, keepdims=True)
 
 
 def _reduce_rays(sel, per_sample):
@@ -196,18 +220,17 @@ def _field_heads_fwd(pe, emb64, w: FieldWeights, dtype, with_res=False):
     return sigma, albedo, ts, tb, res
 
 
-def _compose_fwd(sigma_col, zcol, deltam_rk, rt, kpad):
+def _compose_fwd(sel, sigma_col, deltam_rk, rt, kpad):
     """In-kernel volume compositing pieces. Returns (w_col, parts) where
     parts are reused by the backward."""
-    nt = rt * kpad
-    sigma_rk = sigma_col.reshape(rt, kpad)
+    sigma_rk = _col_to_rk(sel, sigma_col, kpad)
     sdelta = sigma_rk * deltam_rk
     excl = _scan_excl(sdelta)
     trans = jnp.exp(-excl)
     em = jnp.exp(-sdelta)
     alpha = 1.0 - em
     w_rk = trans * alpha
-    w_col = w_rk.reshape(nt, 1)
+    w_col = _rk_to_col(sel, w_rk)
     return w_col, (sdelta, trans, em, alpha, w_rk)
 
 
@@ -237,7 +260,7 @@ def _camera_fwd_kernel(dtype, rt, kpad, rayin_ref, zcol_ref, deltam_ref,
     pe = _pe_from_xb(xb, dtype).astype(dtype)
     emb64 = _expand(sel, _emb_basis(rayin))
     sigma, albedo, ts, tb = _field_heads_fwd(pe, emb64, w, dtype)
-    w_col, _ = _compose_fwd(sigma, zcol, deltam_ref[:], rt, kpad)
+    w_col, _ = _compose_fwd(sel, sigma, deltam_ref[:], rt, kpad)
     v8 = _values8(zcol, albedo, ts, tb) * w_col
     acc_ref[:] = _reduce_rays(sel, v8)
 
@@ -263,7 +286,7 @@ def _camera_bwd_kernel(dtype, rt, kpad, rayin_ref, zcol_ref, deltam_ref,
     sigma, albedo, ts, tb, res = _field_heads_fwd(pe, emb64, w, dtype,
                                                   with_res=True)
     w_col, (sdelta, trans, em, alpha, w_rk) = _compose_fwd(
-        sigma, zcol, deltam, rt, kpad)
+        sel, sigma, deltam, rt, kpad)
     v_raw = _values8(zcol, albedo, ts, tb)
 
     # ---- compositing backward ----
@@ -274,12 +297,12 @@ def _camera_bwd_kernel(dtype, rt, kpad, rayin_ref, zcol_ref, deltam_ref,
     g_alb = d_val[:, 1:4]
     g_ts = d_val[:, 4:5]
     g_tb = d_val[:, 5:6]
-    d_w_rk = d_w_col.reshape(rt, kpad)
+    d_w_rk = _col_to_rk(sel, d_w_col, kpad)
     d_alpha = d_w_rk * trans
     d_trans = d_w_rk * alpha
     d_excl = -trans * d_trans
     d_sdelta = d_alpha * em + _scan_excl(d_excl, reverse=True)
-    d_sigma_col = (d_sdelta * deltam).reshape(nt, 1)
+    d_sigma_col = _rk_to_col(sel, d_sdelta * deltam)
 
     # ---- head/trunk backward (mirrors fused_field._field_bwd_kernel) ----
     g_sig_pre = d_sigma_col * jax.nn.sigmoid(res["sig_pre"])
@@ -393,7 +416,7 @@ def _shadow_fwd_kernel(dtype, rt, kpad, rayin_ref, zcol_ref, deltam_ref,
         _expand(sel, _ray_basis(rayin, 3)) * zcol
     pe = _pe_from_xb(xb, dtype).astype(dtype)
     sigma, _ = _density_trunk(pe, weight_refs, dtype)
-    sigma_rk = sigma.reshape(rt, kpad)
+    sigma_rk = _col_to_rk(sel, sigma, kpad)
     sdelta = sigma_rk * deltam_ref[:]
     # exclusive transmittance AT the last valid sample: sum of sdelta over
     # samples strictly before it == sum over samples whose remaining-valid
@@ -424,7 +447,7 @@ def _shadow_bwd_kernel(dtype, rt, kpad, rayin_ref, zcol_ref, deltam_ref,
     pe = _pe_from_xb(xb, dtype).astype(dtype)
     sigma, w, acts, masks, h, sig_pre = _density_trunk(
         pe, weight_refs, dtype, with_res=True)
-    sigma_rk = sigma.reshape(rt, kpad)
+    sigma_rk = _col_to_rk(sel, sigma, kpad)
     sdelta = sigma_rk * deltam
     maskf = mask_ref[:]
     rcount = _scan_excl(maskf, reverse=True) + maskf
@@ -435,7 +458,7 @@ def _shadow_bwd_kernel(dtype, rt, kpad, rayin_ref, zcol_ref, deltam_ref,
     g_geo = ggeo_ref[:, 0:1].astype(jnp.float32)    # (rt, 1)
     d_ev = -geo * g_geo
     d_sdelta = d_ev * before_last                   # broadcast over lanes
-    d_sigma_col = (d_sdelta * deltam).reshape(nt, 1)
+    d_sigma_col = _rk_to_col(sel, d_sdelta * deltam)
 
     g_sig_pre = d_sigma_col * jax.nn.sigmoid(sig_pre)
     sw = weight_refs[16][:]
