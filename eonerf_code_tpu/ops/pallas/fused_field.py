@@ -127,7 +127,7 @@ def cast_matrices(flat, dtype):
 # shared math (used identically in forward and backward-recompute)
 # ---------------------------------------------------------------------------
 
-PE_PAD = 64  # PE computed in a padded 64-lane layout (see _pe64_parts)
+PE_PAD = 64  # PE computed in a padded 64-lane layout (see _pe64)
 
 
 def _pe_pattern64():

@@ -36,7 +36,9 @@ delta * valid_mask (masked samples contribute exactly zero extinction,
 which reproduces the reference's point-removal semantics).
 
 Segment layout: rays x samples tiles with K padded to KPAD (multiple of
-128); row r*KPAD+k of the point axis is sample k of ray r. Scans run in
+the 8-row sublane granule — padded samples run the full trunk, so lane-tile
+padding would waste up to (128-K)/K of the FLOPs); row r*KPAD+k of the
+point axis is sample k of ray r. Scans run in
 the (RT, KPAD) domain (lanes = samples); per-ray reductions,
 per-ray-to-per-sample broadcasts, and the (nt,1)<->(rt,kpad) domain moves
 are all matmuls against 0/1 selectors built from iota (Mosaic has no shape
@@ -502,11 +504,17 @@ def _round_up(x, m):
 
 
 def _kpad_of(k):
-    return _round_up(max(k, 1), 128)
+    """Pad the sample axis to the SUBLANE granule (8), not the lane tile:
+    padded samples run the full trunk (their sdelta is zero but their
+    position is real), so lane-tile padding would waste (128-K)/K of the
+    kernel FLOPs — 35% at the production 96-sample config."""
+    return _round_up(max(k, 1), 8)
 
 
-def _rt_of(kpad, target):
-    return max(target // kpad, 1)
+def _rt_of(kpad, target, n_rays):
+    """Rays per tile: keep ~target point-rows per tile, but never round a
+    small call up past the actual ray count by more than a sublane."""
+    return max(1, min(target // kpad, _round_up(n_rays, 8)))
 
 
 def _const_spec(shape):
@@ -558,7 +566,7 @@ def make_fused_camera(compute_dtype=jnp.bfloat16, tile_target=2048,
     def _forward(weights, rayin, z, deltam):
         r, k = z.shape
         kpad, (zcol, dp) = _prep(z, deltam)
-        rt = _rt_of(kpad, tile_target)
+        rt = _rt_of(kpad, tile_target, r)
         rp = _round_up(r, rt)
         rayin_p = _pad_rows_to(rayin.astype(jnp.float32), rp)
         zcol = _pad_rows_to(zcol, rp * kpad)
@@ -581,7 +589,7 @@ def make_fused_camera(compute_dtype=jnp.bfloat16, tile_target=2048,
     def _backward(weights, rayin, z, deltam, gacc):
         r, k = z.shape
         kpad, (zcol, dp) = _prep(z, deltam)
-        rt = _rt_of(kpad, bwd_tile_target)
+        rt = _rt_of(kpad, bwd_tile_target, r)
         rp = _round_up(r, rt)
         rayin_p = _pad_rows_to(rayin.astype(jnp.float32), rp)
         zcol = _pad_rows_to(zcol, rp * kpad)
@@ -648,7 +656,7 @@ def make_fused_shadow(compute_dtype=jnp.bfloat16, tile_target=2048,
     def _forward(weights, rayin, z, deltam, mask):
         r, k = z.shape
         kpad, (zcol, dp, mp) = _prep(z, deltam, mask)
-        rt = _rt_of(kpad, tile_target)
+        rt = _rt_of(kpad, tile_target, r)
         rp = _round_up(r, rt)
         rayin_p = _pad_rows_to(rayin.astype(jnp.float32), rp)
         zcol = _pad_rows_to(zcol, rp * kpad)
@@ -671,7 +679,7 @@ def make_fused_shadow(compute_dtype=jnp.bfloat16, tile_target=2048,
     def _backward(weights, rayin, z, deltam, mask, ggeo):
         r, k = z.shape
         kpad, (zcol, dp, mp) = _prep(z, deltam, mask)
-        rt = _rt_of(kpad, bwd_tile_target)
+        rt = _rt_of(kpad, bwd_tile_target, r)
         rp = _round_up(r, rt)
         rayin_p = _pad_rows_to(rayin.astype(jnp.float32), rp)
         zcol = _pad_rows_to(zcol, rp * kpad)

@@ -4,7 +4,6 @@ per-op time breakdown (top HLO ops by self-time).
 Usage: python scripts/trace_step.py [bs] [scan_steps] [outdir]
 """
 
-import glob
 import os
 import sys
 
@@ -34,37 +33,13 @@ def capture(bs=8192, scan_steps=5, outdir="/tmp/trace_step"):
 
 
 def summarize(outdir):
-    """Parse the xplane and print top ops by device self-time."""
-    paths = glob.glob(os.path.join(outdir, "**", "*.xplane.pb"), recursive=True)
-    if not paths:
-        print("no xplane found under", outdir)
-        return
-    path = max(paths, key=os.path.getmtime)
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    """Per-op device-time breakdown; see scripts/xplane_summary.py (run with
+    PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python — this image's
+    tensorboard_plugin_profile converter is incompatible with its TF)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from xplane_summary import summarize as xs
 
-    data, _ = raw_to_tool_data.xspace_to_tool_data([path], "framework_op_stats", {})
-    import csv
-    import io
-
-    rows = list(csv.DictReader(io.StringIO(data)))
-    if not rows:
-        print("no rows")
-        return
-    key_time = None
-    for cand in ("total_self_time_us", "self_time_us", "Total self-time (us)",
-                 "avg_self_time_us"):
-        if cand in rows[0]:
-            key_time = cand
-            break
-    print("columns:", list(rows[0].keys()))
-    rows.sort(key=lambda r: -float(r.get(key_time, 0) or 0))
-    tot = sum(float(r.get(key_time, 0) or 0) for r in rows)
-    print(f"total self time: {tot/1e3:.2f} ms")
-    for r in rows[:30]:
-        t = float(r.get(key_time, 0) or 0)
-        name = r.get("operation", r.get("op_name", r.get("Operation", "?")))
-        cat = r.get("category", r.get("type", ""))
-        print(f"{t/1e3:9.3f} ms {100*t/tot:5.1f}%  {cat:18s} {name[:90]}")
+    xs(outdir)
 
 
 if __name__ == "__main__":
