@@ -373,12 +373,21 @@ def render_depth(field, params, rays: SatRays, key, cfg: RenderConfig,
     """Depth-only fast path (reference: sat_rendering.py:227-249 /
     eonerf.py:172-194) — sigma-only MLP passes, no heads. Honors bundle
     adjustment, hierarchical sampling and occupancy tightening like the
-    full path."""
+    full path. Fused-capable fields route through the camera kernel (depth
+    is its first per-ray output; the extra head work is ~27% of the pass,
+    still far cheaper than the per-sample path's layout round trips)."""
     o = _corrected_origins(field, params, rays)
     z_mid, delta, pos, mask = _camera_samples(
         field, params, o, rays.viewdirs, rays.t_near, key, cfg,
         occ_grid=occ_grid)
     delta_cam = set_last_valid(delta, mask, cfg.inf_delta)
+    if getattr(field, "supports_fused_render", False):
+        r = o.shape[0]
+        rayin = jnp.concatenate(
+            [o, rays.viewdirs, jnp.zeros((r, 10), o.dtype)], axis=1)
+        acc = field.fused_camera(field.pack(params), rayin, z_mid,
+                                 delta_cam * mask)
+        return acc[:, 0:1]
     sigma = field.apply(params, pos, method="density")
     weights, _, _ = render_weights(sigma, delta_cam, mask)
     return accumulate(weights, z_mid)[:, None]

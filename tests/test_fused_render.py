@@ -245,3 +245,32 @@ class TestRendererDispatch:
         denom = float(jnp.linalg.norm(flat_r)) + 1e-12
         rel = float(jnp.linalg.norm(flat_f - flat_r)) / denom
         assert rel < 1e-4, f"gradient rel-L2 {rel}"
+
+    def test_render_depth_fused_matches(self):
+        from eonerf_code_tpu.data.rays import satrays_from_tensor
+        from eonerf_code_tpu.models.fused import PallasField
+        from eonerf_code_tpu.render.satellite import RenderConfig, render_depth
+
+        rng = np.random.default_rng(11)
+        field = EONerfField(n_images=3)
+        params = field.init(jax.random.PRNGKey(0), jnp.zeros((2, 3, 3)),
+                            jnp.zeros((2, 3)), jnp.zeros((2,), jnp.int32),
+                            method="init_all")
+        pf = PallasField(field, interpret=True, tile=512, bwd_tile=512)
+        n = 16
+        o = np.zeros((n, 3), np.float32)
+        o[:, 0] = rng.uniform(-0.5, 0.5, n)
+        o[:, 2] = 0.999
+        d = np.tile(np.array([0.0, 0.0, -1.0], np.float32), (n, 1))
+        sun = np.tile(np.array([0.3, 0.2, -0.93], np.float32), (n, 1))
+        sun /= np.linalg.norm(sun, axis=1, keepdims=True)
+        rays_t = np.hstack([o, d, np.zeros((n, 1), np.float32),
+                            2.0 * np.ones((n, 1), np.float32), sun])
+        rays = satrays_from_tensor(jnp.asarray(rays_t),
+                                   jnp.zeros((n,), jnp.int32))
+        cfg = RenderConfig(n_samples=16, sc_n_samples=16)
+        key = jax.random.PRNGKey(3)
+        ref = render_depth(field, params, rays, key, cfg)
+        fus = render_depth(pf, params, rays, key, cfg)
+        np.testing.assert_allclose(np.asarray(fus), np.asarray(ref),
+                                   rtol=3e-5, atol=2e-5)
