@@ -512,9 +512,11 @@ def _kpad_of(k):
 
 
 def _rt_of(kpad, target, n_rays):
-    """Rays per tile: keep ~target point-rows per tile, but never round a
-    small call up past the actual ray count by more than a sublane."""
-    return max(1, min(target // kpad, _round_up(n_rays, 8)))
+    """Rays per tile: ~target point-rows per tile, a multiple of 8 (Pallas
+    block rows must divide by the sublane granule), never rounding a small
+    call up past the actual ray count by more than a sublane."""
+    rt = max((target // kpad) // 8 * 8, 8)
+    return min(rt, _round_up(n_rays, 8))
 
 
 def _const_spec(shape):
