@@ -157,6 +157,98 @@ def kernel_mm_int4(pos_ref, *rest):
     _mm_interleaved(pos_ref, rest[:N_DENSITY_WEIGHTS], rest[N_DENSITY_WEIGHTS], 4)
 
 
+def kernel_mm_i8(pos_ref, *rest):
+    """8 chained int8 matmuls with realistic per-layer requantization:
+    int32 accum -> f32 scale -> clamp -> int8. Measures the int8 slab roof
+    INCLUDING the VPU requant cost (v5e nameplate: 394 int8 TOPS = 2x bf16).
+    Weights quantized in-kernel once (hoisted by Mosaic; cost amortized over
+    the 8 reuses is part of what we measure)."""
+    weight_refs, out_ref = rest[:N_DENSITY_WEIGHTS], rest[N_DENSITY_WEIGHTS]
+    w8 = jnp.clip(weight_refs[1][:].astype(jnp.float32) * 127.0,
+                  -127.0, 127.0).astype(jnp.int8)
+    n = pos_ref.shape[0]
+    h8 = (jnp.zeros((n, 256), jnp.float32)
+          + pos_ref[0, 0]).astype(jnp.int8)
+    inv = jnp.float32(1.0 / (127.0 * 127.0))
+    for _ in range(8):
+        acc = jax.lax.dot_general(h8, w8, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        hf = acc.astype(jnp.float32) * inv
+        h8 = jnp.clip(hf * 127.0, -127.0, 127.0).astype(jnp.int8)
+    out_ref[:] = h8[:, :1].astype(jnp.float32)
+
+
+def kernel_mm_i8_dyn(pos_ref, *rest):
+    """Like mm_i8 but with the REALISTIC per-layer requant: dynamic
+    per-tensor amax for the activation scale + round-to-nearest. This is the
+    exact per-layer cost the integrated int8 trunk would pay."""
+    weight_refs, out_ref = rest[:N_DENSITY_WEIGHTS], rest[N_DENSITY_WEIGHTS]
+    w8 = jnp.clip(weight_refs[1][:].astype(jnp.float32) * 127.0,
+                  -127.0, 127.0).astype(jnp.int8)
+    n = pos_ref.shape[0]
+    hf = jnp.zeros((n, 256), jnp.float32) + pos_ref[0, 0]
+    for _ in range(8):
+        amax = jnp.max(jnp.abs(hf), axis=(0, 1), keepdims=True)
+        s = jnp.maximum(amax, 1e-12) * jnp.float32(1.0 / 127.0)
+        h8 = jnp.round(hf / s).astype(jnp.int8)
+        acc = jax.lax.dot_general(h8, w8, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        hf = acc.astype(jnp.float32) * (s * jnp.float32(1.0 / 127.0))
+    out_ref[:] = hf[:, :1]
+
+
+def kernel_mm_f8(pos_ref, *rest):
+    """8 chained float8_e4m3 matmuls (if Mosaic lowers them natively on this
+    chip; v5e has int8 MXU, fp8 may emulate)."""
+    weight_refs, out_ref = rest[:N_DENSITY_WEIGHTS], rest[N_DENSITY_WEIGHTS]
+    f8 = jnp.float8_e4m3fn
+    wq = weight_refs[1][:].astype(f8)
+    n = pos_ref.shape[0]
+    h = (jnp.zeros((n, 256), jnp.float32) + pos_ref[0, 0]).astype(f8)
+    for _ in range(8):
+        acc = jax.lax.dot_general(h, wq, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        h = acc.astype(f8)
+    out_ref[:] = h[:, :1].astype(jnp.float32)
+
+
+def kernel_mm_k512(pos_ref, *rest):
+    """4 chained (T,512)x(512,512) bf16 matmuls — same FLOPs as the 8x256
+    chain but double the MXU accumulation depth K. Tests whether the 54%
+    slab ceiling is a small-K effect."""
+    weight_refs, out_ref = rest[:N_DENSITY_WEIGHTS], rest[N_DENSITY_WEIGHTS]
+    w256 = weight_refs[1][:]
+    wbig = jnp.concatenate(
+        [jnp.concatenate([w256, w256], axis=1),
+         jnp.concatenate([w256, w256], axis=1)], axis=0) * jnp.bfloat16(0.25)
+    n = pos_ref.shape[0]
+    h = jnp.zeros((n, 512), DT) + pos_ref[0, 0].astype(DT)
+    for _ in range(4):
+        h = jax.lax.dot_general(h, wbig, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32).astype(DT)
+    out_ref[:] = h[:, :1].astype(jnp.float32)
+
+
+def kernel_mm_i8_k512(pos_ref, *rest):
+    """4 chained (T,512)x(512,512) int8 matmuls + requant — the int8 roof at
+    doubled accumulation depth."""
+    weight_refs, out_ref = rest[:N_DENSITY_WEIGHTS], rest[N_DENSITY_WEIGHTS]
+    w256 = weight_refs[1][:].astype(jnp.float32)
+    wbig = jnp.concatenate(
+        [jnp.concatenate([w256, w256], axis=1),
+         jnp.concatenate([w256, w256], axis=1)], axis=0) * 0.25
+    w8 = jnp.clip(wbig * 127.0, -127.0, 127.0).astype(jnp.int8)
+    n = pos_ref.shape[0]
+    h8 = (jnp.zeros((n, 512), jnp.float32) + pos_ref[0, 0]).astype(jnp.int8)
+    inv = jnp.float32(1.0 / (127.0 * 127.0))
+    for _ in range(4):
+        acc = jax.lax.dot_general(h8, w8, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        hf = acc.astype(jnp.float32) * inv
+        h8 = jnp.clip(hf * 127.0, -127.0, 127.0).astype(jnp.int8)
+    out_ref[:] = h8[:, :1].astype(jnp.float32)
+
+
 def build(variant, n, tile):
     field = EONerfField(n_images=10, compute_dtype=DT)
     params = field.init(jax.random.PRNGKey(0), jnp.zeros((2, 3, 3)),
@@ -173,7 +265,10 @@ def build(variant, n, tile):
         kern = {"trunk": kernel_trunk, "nope": kernel_nope,
                 "norelu": kernel_norelu, "nocast": kernel_nocast,
                 "mm_only": kernel_mm_only, "mm_int2": kernel_mm_int2,
-                "mm_int4": kernel_mm_int4}[variant]
+                "mm_int4": kernel_mm_int4, "mm_i8": kernel_mm_i8,
+                "mm_i8_dyn": kernel_mm_i8_dyn,
+                "mm_f8": kernel_mm_f8, "mm_k512": kernel_mm_k512,
+                "mm_i8_k512": kernel_mm_i8_k512}[variant]
         n_out = 1
         kernel_args = 1
 
@@ -209,7 +304,12 @@ def flops(variant, n):
               "nope": trunk + 512, "norelu": trunk + 512,
               "nocast": trunk + 512, "mm_only": 2 * 8 * 256 * 256,
               "mm_int2": 2 * 8 * 256 * 256,
-              "mm_int4": 2 * 8 * 256 * 256}[variant]
+              "mm_int4": 2 * 8 * 256 * 256,
+              "mm_i8": 2 * 8 * 256 * 256,
+              "mm_i8_dyn": 2 * 8 * 256 * 256,
+              "mm_f8": 2 * 8 * 256 * 256,
+              "mm_k512": 2 * 4 * 512 * 512,
+              "mm_i8_k512": 2 * 4 * 512 * 512}[variant]
     return per_pt * n
 
 
