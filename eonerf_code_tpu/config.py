@@ -119,6 +119,14 @@ class TrainConfig:
                                          # and batch-flat, where XLA's grad
                                          # step is HBM-bound and anti-scales).
                                          # Explicit True/False overrides.
+    trunk_quant: str = "none"            # "int8": trunk matmuls (fwd + bwd
+                                         # recompute) in int8 inside the fused
+                                         # kernels — v5e MXU runs int8 at 2x
+                                         # bf16. Per-column weight scales,
+                                         # dynamic per-tile activation scales,
+                                         # straight-through gradients (dgrad/
+                                         # wgrad stay bf16). Requires the
+                                         # Pallas backend.
 
     def __post_init__(self):
         if self.model == "eo-nerf":

@@ -43,12 +43,14 @@ def make_render_field(field, cfg, mesh=None):
     if not use_pallas:
         return field
     return PallasField(field, mesh=mesh,
-                       interpret=jax.default_backend() == "cpu")
+                       interpret=jax.default_backend() == "cpu",
+                       trunk_quant=getattr(cfg, "trunk_quant", "none") == "int8")
 
 
 class PallasField:
     def __init__(self, field, tile=2048, bwd_tile=1024, interpret=False,
-                 vmem_limit_mb=32, mesh=None, data_axis="data"):
+                 vmem_limit_mb=32, mesh=None, data_axis="data",
+                 trunk_quant=False):
         # defaults = the measured v5e optimum (scripts/scan_pallas_tiles.py);
         # bwd_tile=1024 needs the raised scoped-vmem limit. With `mesh` the
         # kernels shard_map over `data_axis` (weights replicated, weight
@@ -75,11 +77,12 @@ class PallasField:
         self.fused_camera = make_fused_camera(
             dtype, tile_target=tile, bwd_tile_target=bwd_tile,
             interpret=interpret, vmem_limit_mb=max(vmem_limit_mb or 0, 64),
-            mesh=mesh, data_axis=data_axis)
+            mesh=mesh, data_axis=data_axis, trunk_quant=trunk_quant)
         self.fused_shadow = make_fused_shadow(
             dtype, tile_target=tile, bwd_tile_target=bwd_tile,
             interpret=interpret, vmem_limit_mb=max(vmem_limit_mb or 0, 64),
-            mesh=mesh, data_axis=data_axis)
+            mesh=mesh, data_axis=data_axis, trunk_quant=trunk_quant)
+        self.trunk_quant = trunk_quant
         self.pack = pack_params
         self.supports_fused_render = True
 

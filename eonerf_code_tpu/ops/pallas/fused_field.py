@@ -225,6 +225,83 @@ def _softplus(x):
     return jnp.logaddexp(x, 0.0)
 
 
+# ---------------------------------------------------------------------------
+# int8 trunk (optional): per-column weight scales + dynamic per-tile
+# activation scales. v5e's MXU runs int8 at 2x the bf16 rate (394 vs 197
+# TOPS nameplate); the trunk is ~82% of camera-pass and ~99% of shadow-pass
+# matmul FLOPs, so quantizing ONLY the trunk (heads + the whole cotangent
+# chain stay bf16) converts most of the step to the faster arithmetic.
+# Gradients use the straight-through estimator: the backward recomputes the
+# int8 forward (masks/activations consistent with what the forward actually
+# produced) but dgrad/wgrad run bf16 against the unquantized weights.
+# ---------------------------------------------------------------------------
+
+N_Q8 = 16  # 8 int8 trunk matrices + 8 (1, 256) f32 per-column scale rows
+
+
+def quantize_trunk_int8(flat_padded_f32):
+    """XLA glue (runs per train step — weights change inside the scanned
+    megastep): symmetric per-column int8 quantization of the 8 PADDED trunk
+    matrices. Returns [w8 x8] + [scale x8] to append to the kernel args."""
+    w8s, scales = [], []
+    for wmat in flat_padded_f32[:8]:
+        wf = wmat.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(wf), axis=0, keepdims=True), 1e-12) / 127.0
+        w8s.append(jnp.round(wf / s).astype(jnp.int8))
+        scales.append(s)
+    return w8s + scales
+
+
+def _q8_act(hf):
+    """Dynamic per-tensor (per-tile) symmetric int8 activation quantization.
+    Returns (h8, scale (1,1) f32)."""
+    amax = jnp.max(jnp.abs(hf), axis=(0, 1), keepdims=True)
+    inv = jnp.float32(127.0) / jnp.maximum(amax, 1e-12)
+    h8 = jnp.round(hf * inv).astype(jnp.int8)
+    return h8, 1.0 / inv
+
+
+def _mm_q8(h8, w8, sw_row, s_act, b=None):
+    """int8 x int8 -> int32 matmul, dequantized to f32 by the combined
+    activation x per-column weight scale."""
+    acc = jax.lax.dot_general(h8, w8, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * (sw_row * s_act)
+    return out if b is None else out + b.astype(jnp.float32)
+
+
+def _trunk_fwd_q8(pe_cd, w: FieldWeights, q8, dtype, with_masks=False):
+    """int8 trunk forward, same output contract as _trunk_fwd (post-relu
+    activations in the compute dtype + optional relu masks). The running
+    activation stays f32 between layers (quantization is the only rounding
+    in the chain). The skip layer quantizes its two input halves SEPARATELY
+    (h4 and pe have very different dynamic ranges; a joint scale would
+    crush the positional lanes to a handful of int8 levels)."""
+    w8s, sws = q8
+    hf = pe_cd.astype(jnp.float32)
+    pe8, pe_s = _q8_act(hf)
+    acts, masks = [], []
+    pre = _mm_q8(pe8, w8s[0], sws[0], pe_s, w.trunk_b[0])
+    hf = jnp.maximum(pre, 0.0)
+    acts.append(hf.astype(dtype))
+    if with_masks:
+        masks.append(_relu_mask(pre, dtype))
+    for i in range(1, 8):
+        if i == 5:
+            h8, sa = _q8_act(hf)
+            pre = (_mm_q8(h8, w8s[5][:256], sws[5], sa)
+                   + _mm_q8(pe8, w8s[5][256:320], sws[5], pe_s)
+                   + w.trunk_b[5].astype(jnp.float32))
+        else:
+            h8, sa = _q8_act(hf)
+            pre = _mm_q8(h8, w8s[i], sws[i], sa, w.trunk_b[i])
+        hf = jnp.maximum(pre, 0.0)
+        acts.append(hf.astype(dtype))
+        if with_masks:
+            masks.append(_relu_mask(pre, dtype))
+    return (acts, masks) if with_masks else acts
+
+
 def _relu_mask(pre, dtype):
     """relu derivative as a 0/1 multiplier in the compute dtype, computed
     from the f32 pre-activation at recompute time (no bf16 cmpf on TPU, and
@@ -247,6 +324,19 @@ def _trunk_fwd(pe_cd, w: FieldWeights, dtype, with_masks=False):
         if with_masks:
             masks.append(_relu_mask(pre, dtype))
     return (acts, masks) if with_masks else acts
+
+
+def _load_q8(q8_refs):
+    """Kernel-side: materialize the 16 appended q8 refs into the
+    (w8s, scales) pair _trunk_fwd_q8 expects."""
+    return (tuple(r[:] for r in q8_refs[:8]),
+            tuple(r[:] for r in q8_refs[8:16]))
+
+
+def _trunk_fwd_any(pe_cd, w, dtype, q8=None, with_masks=False):
+    if q8 is None:
+        return _trunk_fwd(pe_cd, w, dtype, with_masks=with_masks)
+    return _trunk_fwd_q8(pe_cd, w, q8, dtype, with_masks=with_masks)
 
 
 def _trunk_bwd(pe_cd, acts, masks, g_h, w: FieldWeights, dtype, dws, dbs):

@@ -55,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from eonerf_code_tpu.ops.pallas.fused_field import (
     N_DENSITY_WEIGHTS,
+    N_Q8,
     N_WEIGHTS,
     FieldWeights,
     _cparams,
@@ -64,13 +65,16 @@ from eonerf_code_tpu.ops.pallas.fused_field import (
     _pad_pe_rows,
     _pe_pattern64,
     _pe_phase,
+    _load_q8,
     _relu_mask,
     _softplus,
     _trunk_bwd,
     _trunk_fwd,
+    _trunk_fwd_any,
     cast_matrices,
     density_subset,
     flatten_weights,
+    quantize_trunk_int8,
     unflatten_weights,
 )
 
@@ -188,13 +192,15 @@ def _scan_excl(y, reverse=False):
     return z
 
 
-def _field_heads_fwd(pe, emb64, w: FieldWeights, dtype, with_res=False):
+def _field_heads_fwd(pe, emb64, w: FieldWeights, dtype, with_res=False,
+                     q8=None):
     """Trunk + per-sample heads (shared by camera fwd and bwd-recompute).
-    Returns (sigma_col f32, albedo, ts, tb[, residuals])."""
+    Returns (sigma_col f32, albedo, ts, tb[, residuals]). With ``q8`` the
+    trunk runs int8 (heads stay in the compute dtype)."""
     if with_res:
-        acts, masks = _trunk_fwd(pe, w, dtype, with_masks=True)
+        acts, masks = _trunk_fwd_any(pe, w, dtype, q8=q8, with_masks=True)
     else:
-        acts = _trunk_fwd(pe, w, dtype)
+        acts = _trunk_fwd_any(pe, w, dtype, q8=q8)
     h = acts[-1]
     sig_pre = _mm(h, w.sigma_w, w.sigma_b)
     sigma = _softplus(sig_pre)
@@ -249,9 +255,11 @@ def _values8(zcol, albedo, ts, tb):
 # camera kernels
 # ---------------------------------------------------------------------------
 
-def _camera_fwd_kernel(dtype, rt, kpad, rayin_ref, zcol_ref, deltam_ref,
-                       *rest):
-    weight_refs, acc_ref = rest[:N_WEIGHTS], rest[N_WEIGHTS]
+def _camera_fwd_kernel(dtype, quant, rt, kpad, rayin_ref, zcol_ref,
+                       deltam_ref, *rest):
+    nq = N_Q8 if quant else 0
+    weight_refs, acc_ref = rest[:N_WEIGHTS], rest[N_WEIGHTS + nq]
+    q8 = _load_q8(rest[N_WEIGHTS:N_WEIGHTS + nq]) if quant else None
     w = unflatten_weights([r[:] for r in weight_refs])
     nt = rt * kpad
     sel = _sel(nt, rt, kpad)
@@ -261,16 +269,18 @@ def _camera_fwd_kernel(dtype, rt, kpad, rayin_ref, zcol_ref, deltam_ref,
         _expand(sel, _ray_basis(rayin, 3)) * zcol
     pe = _pe_from_xb(xb, dtype).astype(dtype)
     emb64 = _expand(sel, _emb_basis(rayin))
-    sigma, albedo, ts, tb = _field_heads_fwd(pe, emb64, w, dtype)
+    sigma, albedo, ts, tb = _field_heads_fwd(pe, emb64, w, dtype, q8=q8)
     w_col, _ = _compose_fwd(sel, sigma, deltam_ref[:], rt, kpad)
     v8 = _values8(zcol, albedo, ts, tb) * w_col
     acc_ref[:] = _reduce_rays(sel, v8)
 
 
-def _camera_bwd_kernel(dtype, rt, kpad, rayin_ref, zcol_ref, deltam_ref,
-                       gacc_ref, *rest):
+def _camera_bwd_kernel(dtype, quant, rt, kpad, rayin_ref, zcol_ref,
+                       deltam_ref, gacc_ref, *rest):
+    nq = N_Q8 if quant else 0
     weight_refs = rest[:N_WEIGHTS]
-    out_refs = rest[N_WEIGHTS:]
+    q8 = _load_q8(rest[N_WEIGHTS:N_WEIGHTS + nq]) if quant else None
+    out_refs = rest[N_WEIGHTS + nq:]
     drayin_ref = out_refs[0]
     dw_refs = out_refs[1:]
     w = unflatten_weights([r[:] for r in weight_refs])
@@ -286,7 +296,7 @@ def _camera_bwd_kernel(dtype, rt, kpad, rayin_ref, zcol_ref, deltam_ref,
     pe = _pe_from_xb(xb, dtype).astype(dtype)
     emb64 = _expand(sel, _emb_basis(rayin))
     sigma, albedo, ts, tb, res = _field_heads_fwd(pe, emb64, w, dtype,
-                                                  with_res=True)
+                                                  with_res=True, q8=q8)
     w_col, (sdelta, trans, em, alpha, w_rk) = _compose_fwd(
         sel, sigma, deltam, rt, kpad)
     v_raw = _values8(zcol, albedo, ts, tb)
@@ -390,15 +400,15 @@ def _camera_bwd_kernel(dtype, rt, kpad, rayin_ref, zcol_ref, deltam_ref,
 # shadow kernels (density trunk + exit transmittance)
 # ---------------------------------------------------------------------------
 
-def _density_trunk(pe, weight_refs, dtype, with_res=False):
+def _density_trunk(pe, weight_refs, dtype, with_res=False, q8=None):
     tw = [r[:] for r in weight_refs[:8]]
     tb = [r[:] for r in weight_refs[8:16]]
     sw, sb = weight_refs[16][:], weight_refs[17][:]
     w = FieldWeights(tuple(tw), tuple(tb), sw, sb, *([None] * 12))
     if with_res:
-        acts, masks = _trunk_fwd(pe, w, dtype, with_masks=True)
+        acts, masks = _trunk_fwd_any(pe, w, dtype, q8=q8, with_masks=True)
     else:
-        acts = _trunk_fwd(pe, w, dtype)
+        acts = _trunk_fwd_any(pe, w, dtype, q8=q8)
     h = acts[-1]
     sig_pre = _mm(h, sw, sb)
     sigma = _softplus(sig_pre)
@@ -407,9 +417,12 @@ def _density_trunk(pe, weight_refs, dtype, with_res=False):
     return sigma, w, acts, masks, h, sig_pre
 
 
-def _shadow_fwd_kernel(dtype, rt, kpad, rayin_ref, zcol_ref, deltam_ref,
-                       mask_ref, *rest):
-    weight_refs, out_ref = rest[:N_DENSITY_WEIGHTS], rest[N_DENSITY_WEIGHTS]
+def _shadow_fwd_kernel(dtype, quant, rt, kpad, rayin_ref, zcol_ref,
+                       deltam_ref, mask_ref, *rest):
+    nq = N_Q8 if quant else 0
+    weight_refs = rest[:N_DENSITY_WEIGHTS]
+    q8 = _load_q8(rest[N_DENSITY_WEIGHTS:N_DENSITY_WEIGHTS + nq]) if quant else None
+    out_ref = rest[N_DENSITY_WEIGHTS + nq]
     nt = rt * kpad
     sel = _sel(nt, rt, kpad)
     rayin = rayin_ref[:].astype(jnp.float32)
@@ -417,7 +430,7 @@ def _shadow_fwd_kernel(dtype, rt, kpad, rayin_ref, zcol_ref, deltam_ref,
     xb = _expand(sel, _ray_basis(rayin, 0)) + \
         _expand(sel, _ray_basis(rayin, 3)) * zcol
     pe = _pe_from_xb(xb, dtype).astype(dtype)
-    sigma, _ = _density_trunk(pe, weight_refs, dtype)
+    sigma, _ = _density_trunk(pe, weight_refs, dtype, q8=q8)
     sigma_rk = _col_to_rk(sel, sigma, kpad)
     sdelta = sigma_rk * deltam_ref[:]
     # exclusive transmittance AT the last valid sample: sum of sdelta over
@@ -432,10 +445,12 @@ def _shadow_fwd_kernel(dtype, rt, kpad, rayin_ref, zcol_ref, deltam_ref,
         [geo, jnp.zeros((rt, ACC_COLS - 1), jnp.float32)], axis=1)
 
 
-def _shadow_bwd_kernel(dtype, rt, kpad, rayin_ref, zcol_ref, deltam_ref,
-                       mask_ref, ggeo_ref, *rest):
+def _shadow_bwd_kernel(dtype, quant, rt, kpad, rayin_ref, zcol_ref,
+                       deltam_ref, mask_ref, ggeo_ref, *rest):
+    nq = N_Q8 if quant else 0
     weight_refs = rest[:N_DENSITY_WEIGHTS]
-    out_refs = rest[N_DENSITY_WEIGHTS:]
+    q8 = _load_q8(rest[N_DENSITY_WEIGHTS:N_DENSITY_WEIGHTS + nq]) if quant else None
+    out_refs = rest[N_DENSITY_WEIGHTS + nq:]
     drayin_ref = out_refs[0]
     dw_refs = out_refs[1:]
     nt = rt * kpad
@@ -448,7 +463,7 @@ def _shadow_bwd_kernel(dtype, rt, kpad, rayin_ref, zcol_ref, deltam_ref,
         _expand(sel, _ray_basis(rayin, 3)) * zcol
     pe = _pe_from_xb(xb, dtype).astype(dtype)
     sigma, w, acts, masks, h, sig_pre = _density_trunk(
-        pe, weight_refs, dtype, with_res=True)
+        pe, weight_refs, dtype, with_res=True, q8=q8)
     sigma_rk = _col_to_rk(sel, sigma, kpad)
     sdelta = sigma_rk * deltam
     maskf = mask_ref[:]
@@ -556,14 +571,16 @@ def _prep(z, deltam, mask=None):
 
 def make_fused_camera(compute_dtype=jnp.bfloat16, tile_target=2048,
                       bwd_tile_target=1024, interpret=False,
-                      vmem_limit_mb=64, mesh=None, data_axis="data"):
+                      vmem_limit_mb=64, mesh=None, data_axis="data",
+                      trunk_quant=False):
     """Returns camera(weights: FieldWeights, rayin (R,16), z (R,K),
     deltam (R,K)) -> acc (R, 8) with fused forward and backward.
 
     rayin rows: [origin(3), viewdir(3), embedding(4), 0*6]; deltam must be
     delta * valid_mask with the reference's 1e10 last-valid sentinel already
     applied. With ``mesh``, both passes shard_map over ``data_axis`` on the
-    RAY axis (R must divide the axis size)."""
+    RAY axis (R must divide the axis size). ``trunk_quant`` runs the trunk
+    matmuls (fwd + bwd recompute) in int8 — see quantize_trunk_int8."""
 
     def _forward(weights, rayin, z, deltam):
         r, k = z.shape
@@ -573,19 +590,22 @@ def make_fused_camera(compute_dtype=jnp.bfloat16, tile_target=2048,
         rayin_p = _pad_rows_to(rayin.astype(jnp.float32), rp)
         zcol = _pad_rows_to(zcol, rp * kpad)
         dp = _pad_rows_to(dp, rp)
-        flat = _pad_pe_rows(cast_matrices(flatten_weights(weights), compute_dtype),
-                            with_transient=True)
+        flat_f32 = _pad_pe_rows(flatten_weights(weights), with_transient=True)
+        flat = cast_matrices(flat_f32, compute_dtype)
+        qargs = quantize_trunk_int8(flat_f32) if trunk_quant else []
         acc = pl.pallas_call(
-            functools.partial(_camera_fwd_kernel, compute_dtype, rt, kpad),
+            functools.partial(_camera_fwd_kernel, compute_dtype, trunk_quant,
+                              rt, kpad),
             out_shape=jax.ShapeDtypeStruct((rp, ACC_COLS), jnp.float32),
             grid=(rp // rt,),
             in_specs=[_ray_spec(rt, RAYIN_COLS), _pt_spec(rt * kpad, 8),
                       _ray_spec(rt, kpad)]
-                     + [_const_spec(wt.shape) for wt in flat],
+                     + [_const_spec(wt.shape) for wt in flat]
+                     + [_const_spec(q.shape) for q in qargs],
             out_specs=_ray_spec(rt, ACC_COLS),
             compiler_params=_cparams(vmem_limit_mb),
             interpret=interpret,
-        )(rayin_p, zcol, dp, *flat)
+        )(rayin_p, zcol, dp, *flat, *qargs)
         return acc[:r]
 
     def _backward(weights, rayin, z, deltam, gacc):
@@ -598,23 +618,26 @@ def make_fused_camera(compute_dtype=jnp.bfloat16, tile_target=2048,
         dp = _pad_rows_to(dp, rp)
         gacc_p = _pad_rows_to(gacc.astype(jnp.float32), rp)
         flat_f32 = flatten_weights(weights)
-        flat = _pad_pe_rows(cast_matrices(flat_f32, compute_dtype),
-                            with_transient=True)
+        flat_f32p = _pad_pe_rows(flat_f32, with_transient=True)
+        flat = cast_matrices(flat_f32p, compute_dtype)
+        qargs = quantize_trunk_int8(flat_f32p) if trunk_quant else []
         out_shapes = ([jax.ShapeDtypeStruct((rp, RAYIN_COLS), jnp.float32)]
                       + [jax.ShapeDtypeStruct(wt.shape, jnp.float32) for wt in flat])
         out_specs = ([_ray_spec(rt, RAYIN_COLS)]
                      + [_const_spec(wt.shape) for wt in flat])
         outs = pl.pallas_call(
-            functools.partial(_camera_bwd_kernel, compute_dtype, rt, kpad),
+            functools.partial(_camera_bwd_kernel, compute_dtype, trunk_quant,
+                              rt, kpad),
             out_shape=tuple(out_shapes),
             grid=(rp // rt,),
             in_specs=[_ray_spec(rt, RAYIN_COLS), _pt_spec(rt * kpad, 8),
                       _ray_spec(rt, kpad), _ray_spec(rt, ACC_COLS)]
-                     + [_const_spec(wt.shape) for wt in flat],
+                     + [_const_spec(wt.shape) for wt in flat]
+                     + [_const_spec(q.shape) for q in qargs],
             out_specs=tuple(out_specs),
             compiler_params=_cparams(vmem_limit_mb),
             interpret=interpret,
-        )(rayin_p, zcol, dp, gacc_p, *flat)
+        )(rayin_p, zcol, dp, gacc_p, *flat, *qargs)
         d_rayin = outs[0][:r]
         from eonerf_code_tpu.ops.pallas.fused_field import _unpad_pe_rows
 
@@ -649,7 +672,8 @@ def make_fused_camera(compute_dtype=jnp.bfloat16, tile_target=2048,
 
 def make_fused_shadow(compute_dtype=jnp.bfloat16, tile_target=2048,
                       bwd_tile_target=1024, interpret=False,
-                      vmem_limit_mb=64, mesh=None, data_axis="data"):
+                      vmem_limit_mb=64, mesh=None, data_axis="data",
+                      trunk_quant=False):
     """Returns shadow(weights: FieldWeights, rayin (R,16), z (R,K),
     deltam (R,K), mask (R,K)) -> geo (R,) sun visibility, fused fwd+bwd.
     rayin rows 0:3 carry the shadow-march origin (gradients flow to it —
@@ -664,18 +688,22 @@ def make_fused_shadow(compute_dtype=jnp.bfloat16, tile_target=2048,
         zcol = _pad_rows_to(zcol, rp * kpad)
         dp = _pad_rows_to(dp, rp)
         mp = _pad_rows_to(mp, rp)
-        flat = _pad_pe_rows(cast_matrices(density_subset(weights), compute_dtype))
+        flat_f32p = _pad_pe_rows(density_subset(weights))
+        flat = cast_matrices(flat_f32p, compute_dtype)
+        qargs = quantize_trunk_int8(flat_f32p) if trunk_quant else []
         out = pl.pallas_call(
-            functools.partial(_shadow_fwd_kernel, compute_dtype, rt, kpad),
+            functools.partial(_shadow_fwd_kernel, compute_dtype, trunk_quant,
+                              rt, kpad),
             out_shape=jax.ShapeDtypeStruct((rp, ACC_COLS), jnp.float32),
             grid=(rp // rt,),
             in_specs=[_ray_spec(rt, RAYIN_COLS), _pt_spec(rt * kpad, 8),
                       _ray_spec(rt, kpad), _ray_spec(rt, kpad)]
-                     + [_const_spec(wt.shape) for wt in flat],
+                     + [_const_spec(wt.shape) for wt in flat]
+                     + [_const_spec(q.shape) for q in qargs],
             out_specs=_ray_spec(rt, ACC_COLS),
             compiler_params=_cparams(vmem_limit_mb),
             interpret=interpret,
-        )(rayin_p, zcol, dp, mp, *flat)
+        )(rayin_p, zcol, dp, mp, *flat, *qargs)
         return out[:r, 0]
 
     def _backward(weights, rayin, z, deltam, mask, ggeo):
@@ -691,23 +719,27 @@ def make_fused_shadow(compute_dtype=jnp.bfloat16, tile_target=2048,
             jnp.pad(ggeo.astype(jnp.float32).reshape(-1, 1),
                     ((0, 0), (0, ACC_COLS - 1))), rp)
         flat_f32 = density_subset(weights)
-        flat = _pad_pe_rows(cast_matrices(flat_f32, compute_dtype))
+        flat_f32p = _pad_pe_rows(flat_f32)
+        flat = cast_matrices(flat_f32p, compute_dtype)
+        qargs = quantize_trunk_int8(flat_f32p) if trunk_quant else []
         out_shapes = ([jax.ShapeDtypeStruct((rp, RAYIN_COLS), jnp.float32)]
                       + [jax.ShapeDtypeStruct(wt.shape, jnp.float32) for wt in flat])
         out_specs = ([_ray_spec(rt, RAYIN_COLS)]
                      + [_const_spec(wt.shape) for wt in flat])
         outs = pl.pallas_call(
-            functools.partial(_shadow_bwd_kernel, compute_dtype, rt, kpad),
+            functools.partial(_shadow_bwd_kernel, compute_dtype, trunk_quant,
+                              rt, kpad),
             out_shape=tuple(out_shapes),
             grid=(rp // rt,),
             in_specs=[_ray_spec(rt, RAYIN_COLS), _pt_spec(rt * kpad, 8),
                       _ray_spec(rt, kpad), _ray_spec(rt, kpad),
                       _ray_spec(rt, ACC_COLS)]
-                     + [_const_spec(wt.shape) for wt in flat],
+                     + [_const_spec(wt.shape) for wt in flat]
+                     + [_const_spec(q.shape) for q in qargs],
             out_specs=tuple(out_specs),
             compiler_params=_cparams(vmem_limit_mb),
             interpret=interpret,
-        )(rayin_p, zcol, dp, mp, ggeo_p, *flat)
+        )(rayin_p, zcol, dp, mp, ggeo_p, *flat, *qargs)
         d_rayin = outs[0][:r]
         from eonerf_code_tpu.ops.pallas.fused_field import _unpad_pe_rows
 
