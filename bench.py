@@ -50,7 +50,8 @@ def device_peak_tflops(device_str):
     return None
 
 
-def build_step(n_images=10, n_samples=128, compute_dtype="bfloat16", scan_steps=20):
+def build_step(n_images=10, n_samples=128, compute_dtype="bfloat16", scan_steps=20,
+               trunk_quant=False):
     """Returns (megastep, params, opt_state): `scan_steps` full train steps
     chained by lax.scan inside one jit dispatch — the framework's real
     training operating mode (train/loop.py make_megastep). Uses the trainer's
@@ -73,7 +74,7 @@ def build_step(n_images=10, n_samples=128, compute_dtype="bfloat16", scan_steps=
     if compute_dtype == "bfloat16" and jax.default_backend() == "tpu":
         from eonerf_code_tpu.models.fused import PallasField
 
-        field = PallasField(base_field)
+        field = PallasField(base_field, trunk_quant=trunk_quant)
     else:
         field = base_field
     optimizer = optax.adam(5e-4)
@@ -147,10 +148,15 @@ def time_batch(train_step, params, opt_state, batch_size, warmup=2, iters=6):
 
 
 def main():
+    import os
     import jax
 
+    # A/B hook: EONERF_BENCH_QUANT=int8|int8_full measures the int8-trunk
+    # operating points (kernel arithmetic only; workload identical)
+    trunk_quant = {"int8": True, "int8_full": "full"}.get(
+        os.environ.get("EONERF_BENCH_QUANT", "none"), False)
     results = {}
-    train_step, params, opt_state = build_step()
+    train_step, params, opt_state = build_step(trunk_quant=trunk_quant)
     for bs in (4096, 8192, 16384):
         try:
             results[bs] = time_batch(train_step, params, opt_state, bs)
@@ -179,6 +185,8 @@ def main():
         "device": device,
         "n_samples": 128,
         "shadows": True,
+        "trunk_quant": {True: "int8", "full": "int8_full"}.get(
+            trunk_quant, "none"),
         # FLOP-counted efficiency: logical model matmul flops (fwd + 3x-fwd
         # backward, camera + shadow passes), NOT padded kernel flops
         "model_flops_per_ray": fpr,

@@ -70,9 +70,11 @@ def build_parser():
                    help="fused Pallas field kernels (default: auto — on for "
                         "bf16 on TPU backends)")
     g.add_argument("--trunk_quant", type=str, default="none",
-                   choices=["none", "int8"],
+                   choices=["none", "int8", "int8_full"],
                    help="int8 trunk matmuls inside the fused kernels (v5e "
-                        "MXU int8 = 2x bf16; straight-through gradients)")
+                        "MXU int8 = 2x bf16; straight-through gradients); "
+                        "int8_full also quantizes the trunk dgrad/wgrad "
+                        "cotangent matmuls")
     g.add_argument("--data_axis", type=int, default=1,
                    help="devices on the ray-batch mesh axis: N>1 shards the "
                         "ray pool + every batch over N chips (gradient psum "

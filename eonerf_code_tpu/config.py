@@ -125,8 +125,12 @@ class TrainConfig:
                                          # bf16. Per-column weight scales,
                                          # dynamic per-tile activation scales,
                                          # straight-through gradients (dgrad/
-                                         # wgrad stay bf16). Requires the
-                                         # Pallas backend.
+                                         # wgrad stay bf16).
+                                         # "int8_full": additionally runs the
+                                         # trunk dgrad/wgrad cotangent matmuls
+                                         # in int8 (weight-scale-folded
+                                         # cotangent quantization). Both
+                                         # require the Pallas backend.
 
     def __post_init__(self):
         if self.model == "eo-nerf":

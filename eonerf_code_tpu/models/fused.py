@@ -42,9 +42,11 @@ def make_render_field(field, cfg, mesh=None):
         use_pallas = cfg.use_pallas
     if not use_pallas:
         return field
+    quant = {"int8": True, "int8_full": "full"}.get(
+        getattr(cfg, "trunk_quant", "none"), False)
     return PallasField(field, mesh=mesh,
                        interpret=jax.default_backend() == "cpu",
-                       trunk_quant=getattr(cfg, "trunk_quant", "none") == "int8")
+                       trunk_quant=quant)
 
 
 class PallasField:

@@ -333,6 +333,65 @@ def _load_q8(q8_refs):
             tuple(r[:] for r in q8_refs[8:16]))
 
 
+def _i8_outer(a8, g8):
+    """a8.T @ g8 with int32 accumulation, returned f32 (caller scales)."""
+    return jax.lax.dot_general(a8, g8, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32
+                               ).astype(jnp.float32)
+
+
+def _trunk_bwd_q8(pe_cd, acts, masks, g_h, w: FieldWeights, q8, dtype,
+                  dws, dbs):
+    """int8 dgrad + wgrad for the trunk cotangent chain
+    (trunk_quant="int8_full"). Per layer, ONE quantization of the
+    weight-scale-folded cotangent serves both matmuls:
+
+        gs  = g_pre * s_w          (fold per-column weight scales; VPU)
+        dgrad: g_pre @ W^T  ~= (g8 @ w8^T) * s_g     (column scales cancel)
+        wgrad: inp^T @ g_pre ~= (inp8^T @ g8) * s_in * s_g / s_w
+
+    Bias grads reduce the UNQUANTIZED f32 cotangent; the skip layer's two
+    input halves quantize separately (same reasoning as _trunk_fwd_q8 —
+    their dynamic ranges differ wildly). Same output contract as
+    _trunk_bwd."""
+    w8s, sws = q8
+    pe8, pe_s = _q8_act(pe_cd.astype(jnp.float32))
+    g_pe = jnp.zeros(pe_cd.shape, dtype)
+    for i in range(7, -1, -1):
+        gf = (g_h * masks[i]).astype(jnp.float32)
+        dbs[i] = jnp.sum(gf, axis=0, keepdims=True, dtype=jnp.float32)
+        g8, s_g = _q8_act(gf * sws[i])
+        col_s = s_g / sws[i]                        # (1, out) wgrad scales
+        if i == 0:
+            dws[i] = _i8_outer(pe8, g8) * (pe_s * col_s)
+        elif i == 5:
+            h8, s_h = _q8_act(acts[4].astype(jnp.float32))
+            dws[i] = jnp.concatenate(
+                [_i8_outer(h8, g8) * (s_h * col_s),
+                 _i8_outer(pe8, g8) * (pe_s * col_s)], axis=0)
+        else:
+            h8, s_h = _q8_act(acts[i - 1].astype(jnp.float32))
+            dws[i] = _i8_outer(h8, g8) * (s_h * col_s)
+        g_in = (jax.lax.dot_general(g8, w8s[i], (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.int32
+                                    ).astype(jnp.float32)
+                * s_g).astype(dtype)
+        if i == 5:
+            g_h = g_in[:, :256]
+            g_pe = g_pe + g_in[:, 256:]
+        elif i == 0:
+            g_pe = g_pe + g_in
+        else:
+            g_h = g_in
+    return g_pe
+
+
+def _trunk_bwd_any(pe_cd, acts, masks, g_h, w, dtype, dws, dbs, q8=None):
+    if q8 is None:
+        return _trunk_bwd(pe_cd, acts, masks, g_h, w, dtype, dws, dbs)
+    return _trunk_bwd_q8(pe_cd, acts, masks, g_h, w, q8, dtype, dws, dbs)
+
+
 def _trunk_fwd_any(pe_cd, w, dtype, q8=None, with_masks=False):
     if q8 is None:
         return _trunk_fwd(pe_cd, w, dtype, with_masks=with_masks)

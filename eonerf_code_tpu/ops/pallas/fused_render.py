@@ -69,6 +69,7 @@ from eonerf_code_tpu.ops.pallas.fused_field import (
     _relu_mask,
     _softplus,
     _trunk_bwd,
+    _trunk_bwd_any,
     _trunk_fwd,
     _trunk_fwd_any,
     cast_matrices,
@@ -363,8 +364,9 @@ def _camera_bwd_kernel(dtype, quant, rt, kpad, rayin_ref, zcol_ref,
 
     trunk_dw = [None] * 8
     trunk_db = [None] * 8
-    g_pe = _trunk_bwd(pe, res["acts"], res["masks"], g_h, w, dtype,
-                      trunk_dw, trunk_db)
+    g_pe = _trunk_bwd_any(pe, res["acts"], res["masks"], g_h, w, dtype,
+                          trunk_dw, trunk_db,
+                          q8=q8 if quant == "full" else None)
     deriv = _pe_deriv_from_xb(xb, dtype)
     d_xb = g_pe.astype(jnp.float32) * deriv      # (nt, 64)
     # xb = sel@basis_o + (sel@basis_d) * z: per-ray gradients via the
@@ -485,7 +487,8 @@ def _shadow_bwd_kernel(dtype, quant, rt, kpad, rayin_ref, zcol_ref,
 
     trunk_dw = [None] * 8
     trunk_db = [None] * 8
-    g_pe = _trunk_bwd(pe, acts, masks, g_h, w, dtype, trunk_dw, trunk_db)
+    g_pe = _trunk_bwd_any(pe, acts, masks, g_h, w, dtype, trunk_dw, trunk_db,
+                          q8=q8 if quant == "full" else None)
     deriv = _pe_deriv_from_xb(xb, dtype)
     d_xb = g_pe.astype(jnp.float32) * deriv
     pat = _pe_pattern64()
@@ -579,8 +582,10 @@ def make_fused_camera(compute_dtype=jnp.bfloat16, tile_target=2048,
     rayin rows: [origin(3), viewdir(3), embedding(4), 0*6]; deltam must be
     delta * valid_mask with the reference's 1e10 last-valid sentinel already
     applied. With ``mesh``, both passes shard_map over ``data_axis`` on the
-    RAY axis (R must divide the axis size). ``trunk_quant`` runs the trunk
-    matmuls (fwd + bwd recompute) in int8 — see quantize_trunk_int8."""
+    RAY axis (R must divide the axis size). ``trunk_quant`` True runs the
+    trunk matmuls (fwd + bwd recompute) in int8; "full" additionally runs
+    the trunk dgrad/wgrad cotangent matmuls in int8 — see
+    quantize_trunk_int8 / _trunk_bwd_q8."""
 
     def _forward(weights, rayin, z, deltam):
         r, k = z.shape

@@ -106,7 +106,8 @@ class TestQuantForwardClose:
 
 
 class TestQuantGradients:
-    def test_camera_grads_aligned(self, setup):
+    @pytest.mark.parametrize("tier", [True, "full"])
+    def test_camera_grads_aligned(self, setup, tier):
         field, params, (o, d, z, delta, mask, idx) = setup
         from jax.flatten_util import ravel_pytree
 
@@ -123,9 +124,41 @@ class TestQuantGradients:
             return loss
 
         cam = make_fused_camera(jnp.float32, interpret=True)
-        cam_q = make_fused_camera(jnp.float32, interpret=True, trunk_quant=True)
+        cam_q = make_fused_camera(jnp.float32, interpret=True, trunk_quant=tier)
         gw, go = jax.grad(make_loss(cam), argnums=(0, 1))(w, o)
         gw_q, go_q = jax.grad(make_loss(cam_q), argnums=(0, 1))(w, o)
+        fw, _ = ravel_pytree(gw)
+        fq, _ = ravel_pytree(gw_q)
+        assert bool(jnp.isfinite(fq).all())
+        cos = float(jnp.vdot(fw, fq) / (jnp.linalg.norm(fw)
+                                        * jnp.linalg.norm(fq) + 1e-12))
+        assert cos > 0.95, f"weight-grad cosine {cos}"
+        cos_o = float(jnp.vdot(go.ravel(), go_q.ravel())
+                      / (jnp.linalg.norm(go) * jnp.linalg.norm(go_q) + 1e-12))
+        assert cos_o > 0.9, f"origin-grad cosine {cos_o}"
+
+    def test_shadow_grads_aligned_full(self, setup):
+        field, params, (o, d, z, delta, mask, idx) = setup
+        from jax.flatten_util import ravel_pytree
+
+        w = pack_params(params)
+        deltam = delta * mask
+        maskf = mask.astype(jnp.float32)
+        zero_emb = jnp.zeros((o.shape[0], 4))
+        coef = jnp.asarray(np.random.default_rng(9).normal(
+            size=(o.shape[0],)).astype(np.float32))
+
+        def make_loss(sh):
+            def loss(w_, o_):
+                geo = sh(w_, _rayin(o_, d, zero_emb), z, deltam, maskf)
+                return jnp.sum(geo * coef)
+            return loss
+
+        sh = make_fused_shadow(jnp.float32, interpret=True)
+        sh_q = make_fused_shadow(jnp.float32, interpret=True,
+                                 trunk_quant="full")
+        gw, go = jax.grad(make_loss(sh), argnums=(0, 1))(w, o)
+        gw_q, go_q = jax.grad(make_loss(sh_q), argnums=(0, 1))(w, o)
         fw, _ = ravel_pytree(gw)
         fq, _ = ravel_pytree(gw_q)
         assert bool(jnp.isfinite(fq).all())
@@ -192,3 +225,46 @@ class TestDispatch:
                           trunk_quant="int8")
         rf = make_render_field(field, cfg)
         assert getattr(rf, "trunk_quant", False) is True
+        cfg_full = TrainConfig(root_dir="/tmp", use_pallas=True,
+                               trunk_quant="int8_full")
+        rf_full = make_render_field(field, cfg_full)
+        assert getattr(rf_full, "trunk_quant", False) == "full"
+
+    def test_train_step_smoke_full(self, setup):
+        from eonerf_code_tpu.data.rays import satrays_from_tensor
+        from eonerf_code_tpu.models.fused import PallasField
+        from eonerf_code_tpu.render.satellite import RenderConfig, render_rays
+        from eonerf_code_tpu.utils import metrics as M
+
+        field, params, _ = setup
+        rng = np.random.default_rng(22)
+        n = 12
+        o = np.zeros((n, 3), np.float32)
+        o[:, 0] = rng.uniform(-0.8, 0.8, n)
+        o[:, 2] = 0.999
+        d = np.tile(np.array([0.05, 0.02, -1.0], np.float32), (n, 1))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        sun = np.tile(np.array([0.3, 0.2, -0.93], np.float32), (n, 1))
+        sun /= np.linalg.norm(sun, axis=1, keepdims=True)
+        rays_t = np.hstack([o, d, np.zeros((n, 1), np.float32),
+                            2.0 * np.ones((n, 1), np.float32), sun])
+        ts = rng.integers(0, 5, n).astype(np.int32)
+        rays = satrays_from_tensor(jnp.asarray(rays_t), jnp.asarray(ts))
+        rgbs = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+        cfg = RenderConfig(n_samples=16, sc_n_samples=16)
+        key = jax.random.PRNGKey(6)
+        pf_q = PallasField(field, interpret=True, tile=512, bwd_tile=512,
+                           trunk_quant="full")
+
+        def loss(p):
+            o_ = render_rays(pf_q, p, rays, key, cfg, shadows=True)
+            l, _ = M.uncertainty_aware_loss(rgbs, o_["rgb"], o_["beta"])
+            return l
+
+        l, g = jax.value_and_grad(loss)(params)
+        from jax.flatten_util import ravel_pytree
+
+        flat, _ = ravel_pytree(g)
+        assert bool(jnp.isfinite(flat).all()) and float(
+            jnp.abs(flat).max()) > 0.0
+        assert np.isfinite(float(l))
