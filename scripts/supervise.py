@@ -61,6 +61,7 @@ def supervise(cmd, metrics, stall_sec, grace_sec, max_restarts, startup_sec):
         proc = subprocess.Popen(cmd, start_new_session=True)
         last_size = _size(metrics)
         last_progress = time.time()
+        grew_this_launch = False
         while True:
             rc = proc.poll()
             if rc is not None:
@@ -75,10 +76,13 @@ def supervise(cmd, metrics, stall_sec, grace_sec, max_restarts, startup_sec):
             if size != last_size:
                 last_size = size
                 last_progress = time.time()
+                grew_this_launch = True
                 continue
-            # no new metrics: during startup (compile/init) allow longer
-            budget = max(stall_sec, startup_sec) if last_size <= 0 \
-                else stall_sec
+            # until the FIRST write of this launch, allow the startup
+            # budget (device init + restore + compile produce no metrics —
+            # on resume the file already exists, so emptiness is no signal)
+            budget = stall_sec if grew_this_launch \
+                else max(stall_sec, startup_sec)
             if time.time() - last_progress > budget:
                 print(f"[supervise] no metrics progress for {budget}s — "
                       f"killing pid {proc.pid}", flush=True)
