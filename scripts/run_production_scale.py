@@ -65,13 +65,21 @@ def main(workdir="/tmp/eonerf_prod", steps=20000, compute_dtype="bfloat16",
     trainer = Trainer(cfg)
     print(f"dataset: {trainer.n_rays:,} rays, {trainer.n_images} images", flush=True)
 
+    mae = None
     for target in (int(steps) // 4, int(steps) // 2, int(steps)):
+        if target <= trainer.step:   # resumed past this milestone already
+            continue
         stats = trainer.run(max_steps=target, log_every=2000)
         sample = trainer.val_ds.get_val_sample(0)
         pred = trainer.render_view(sample, depth_only=True)
         mae = trainer._val_mae(sample, pred)
         print(f"step {target}: MAE={mae:.3f} m  rays/s={stats['rays_per_sec']:,.0f}",
               flush=True)
+    if mae is None:                  # fully-trained checkpoint: report MAE
+        sample = trainer.val_ds.get_val_sample(0)
+        mae = trainer._val_mae(sample,
+                               trainer.render_view(sample, depth_only=True))
+        print(f"step {trainer.step}: MAE={mae:.3f} m (restored)", flush=True)
 
     # also evaluate a held-out TEST view photometrically
     from eonerf_code_tpu.utils import metrics as M
