@@ -60,6 +60,9 @@ def build_parser():
                    action="store_false", default=None,
                    help="keep the shadow march uniform even with --occ_tighten")
     g.add_argument("--occ_tighten_start_step", type=int, default=2000)
+    g.add_argument("--occ_entropy_max", type=float, default=None,
+                   help="tighten only while probe-ray weight entropy is <= "
+                        "this (geometry-quality gate; default: disabled)")
     def _strict_bool(v):
         if v.lower() in ("true", "false"):
             return v.lower() == "true"

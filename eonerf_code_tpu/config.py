@@ -94,6 +94,14 @@ class TrainConfig:
     occ_explore_frac: float = 0.25       # per-step fraction of rays sampling
                                          # the full range despite the grid
                                          # (self-correction; see RenderConfig)
+    occ_entropy_max: Optional[float] = None  # geometry-quality gate: tighten
+                                         # only while the probe rays' mean
+                                         # normalized weight entropy is <=
+                                         # this (occupied fraction can be
+                                         # stable on a WRONG grid; weight
+                                         # entropy cannot look surface-like
+                                         # unless geometry resolved). None
+                                         # disables the gate.
 
     # priors
     init_dsm_path: Optional[str] = None

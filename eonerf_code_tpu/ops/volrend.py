@@ -71,6 +71,22 @@ def ray_entropy(alphas, mask=None, eps=1e-10):
     return -jnp.sum(probs * jnp.log10(probs + eps), axis=-1)
 
 
+def weight_entropy(weights, eps=1e-10):
+    """Per-ray entropy of the NORMALIZED compositing weights, scaled to
+    [0, 1] by log(K): ~0 when the ray's mass concentrates on one surface
+    sample (resolved geometry), ~1 when it is spread uniformly (unresolved
+    geometry or floaters). Used by the occupancy-tightening entropy gate
+    (train/loop.py): the occupied FRACTION of a grid can be stable while
+    the geometry it encodes is wrong, but the weight distribution along
+    rays cannot look surface-like unless geometry has actually resolved.
+
+    weights: (R, K). Returns (R,) in [0, 1]."""
+    k = weights.shape[-1]
+    total = jnp.sum(weights, axis=-1, keepdims=True) + eps
+    p = weights / total
+    return -jnp.sum(p * jnp.log(p + eps), axis=-1) / jnp.log(float(k))
+
+
 def accumulate(weights, values=None):
     """Weighted reduction along samples.
 

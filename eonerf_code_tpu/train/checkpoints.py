@@ -15,9 +15,20 @@ def _ckpt_dir(log_dir, epoch):
     return os.path.abspath(os.path.join(log_dir, "ckpts", f"epoch={epoch}"))
 
 
-def save_checkpoint(log_dir, epoch, state):
-    """state: any pytree (params, opt_state, occ arrays, step, epoch...)."""
+def save_checkpoint(log_dir, epoch, state, overwrite=None):
+    """state: any pytree (params, opt_state, occ arrays, step, epoch...).
+
+    Integer-tagged checkpoints are IDEMPOTENT: if the finalized directory
+    already exists, the save is skipped. Overwriting deletes the existing
+    directory first (orbax force), so a kill/wedge mid-save would destroy
+    the only good copy — observed when a resumed run's end-of-segment save
+    re-targeted the exact checkpoint it restored from. Named tags ("best")
+    keep overwrite semantics."""
     path = _ckpt_dir(log_dir, epoch)
+    if overwrite is None:
+        overwrite = not isinstance(epoch, int)
+    if not overwrite and os.path.isdir(path):
+        return path
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, state, force=True)
     return path

@@ -34,6 +34,7 @@ from eonerf_code_tpu.data.rays import satrays_from_tensor
 from eonerf_code_tpu.data.satellite import SatelliteDataset
 from eonerf_code_tpu.models.eonerf import EONerfField
 from eonerf_code_tpu.ops.occupancy import OccupancyGrid
+from eonerf_code_tpu.ops.volrend import render_weights, weight_entropy
 from eonerf_code_tpu.render.satellite import RenderConfig, render_image, render_rays
 from eonerf_code_tpu.train import checkpoints as ckpt_lib
 from eonerf_code_tpu.utils import metrics as M
@@ -273,6 +274,10 @@ class Trainer:
         # (occ_sampling.json) so a resumed run samples exactly as an
         # uninterrupted one would — no re-arming window after restore.
         self._occ_frac_hist = []
+        # weight-entropy history for the geometry-quality gate (same
+        # cadence + sidecar); lazily-built jitted probe
+        self._entropy_hist = []
+        self._entropy_probe = None
         if cfg.ckpt_path:
             self.restore(cfg.ckpt_path)
 
@@ -343,6 +348,7 @@ class Trainer:
 
         with open(os.path.join(path, "occ_sampling.json"), "w") as f:
             _json.dump({"frac_hist": self._occ_frac_hist,
+                        "entropy_hist": self._entropy_hist,
                         "tighten_active": self._occ_for_sampling() is not None},
                        f)
         return path
@@ -361,7 +367,10 @@ class Trainer:
             import json as _json
 
             with open(sidecar) as f:
-                self._occ_frac_hist = [float(x) for x in _json.load(f)["frac_hist"]]
+                side = _json.load(f)
+            self._occ_frac_hist = [float(x) for x in side["frac_hist"]]
+            self._entropy_hist = [float(x)
+                                  for x in side.get("entropy_hist", [])]
 
     # ---- training ----
 
@@ -422,13 +431,63 @@ class Trainer:
         return (max(abs(x - ref) for x in h[-window:]) / ref < tol
                 and abs(ref - first) / first < tol_drift)
 
+    def _weight_entropy(self):
+        """Mean normalized weight entropy over OPAQUE probe rays — the
+        geometry-quality signal behind the entropy gate. A fixed strided
+        subset of the training rays is density-rendered with uniform
+        sampling (the probe must not depend on the grid it is gating) and
+        the weight distribution's entropy is averaged over rays that hit
+        anything; 1.0 (worst) when nothing is opaque yet. Cost: one
+        2048-ray density pass per occupancy update."""
+        if self._entropy_probe is None:
+            import numpy as _np
+
+            k = int(min(self.cfg.n_samples, 64))
+            n = int(min(2048, self.n_rays))
+            idx = _np.linspace(0, self.n_rays - 1, num=n).astype(_np.int64)
+            rays = jnp.asarray(_np.asarray(self.train_ds.all_rays)[idx])
+            field = self.render_field
+
+            def probe(params):
+                o, d = rays[:, 0:3], rays[:, 3:6]
+                near, far = rays[:, 6], rays[:, 7]
+                tm = (jnp.arange(k, dtype=jnp.float32) + 0.5) / k
+                z = near[:, None] + (far - near)[:, None] * tm[None, :]
+                delta = jnp.broadcast_to((far - near)[:, None] / k, z.shape)
+                pos = o[:, None, :] + d[:, None, :] * z[..., None]
+                sigma = field.apply(params, pos, method="density")
+                w, _, _ = render_weights(sigma, delta)
+                opacity = jnp.sum(w, axis=-1)
+                h = weight_entropy(w)
+                opaque = (opacity > 0.5).astype(jnp.float32)
+                n_op = jnp.sum(opaque)
+                return jnp.where(n_op > 0,
+                                 jnp.sum(h * opaque) / jnp.maximum(n_op, 1.0),
+                                 1.0)
+
+            self._entropy_probe = jax.jit(probe)
+        return float(self._entropy_probe(self.params))
+
+    def _entropy_ok(self):
+        """True when the entropy gate is disabled or the latest probe shows
+        surface-like weight distributions. The occupied-fraction gate can
+        pass on a STABLE-BUT-WRONG grid (wide-envelope divergence,
+        STATUS.md round 2); weight entropy distinguishes resolved geometry
+        from stabilized floaters."""
+        if self.cfg.occ_entropy_max is None:
+            return True
+        return bool(self._entropy_hist) and (
+            self._entropy_hist[-1] <= self.cfg.occ_entropy_max)
+
     def _occ_for_sampling(self, step=None):
         """The grid handed to the sampler: None until tightening is enabled,
         past the warmup step AND the grid has stabilized (fallback-by-
-        construction before that)."""
+        construction before that) AND the entropy gate (if configured)
+        confirms resolved geometry."""
         step = self.step if step is None else step
         if (self.cfg.occ_tighten and self.occ_grid is not None
                 and step >= self.cfg.occ_tighten_start_step
+                and self._entropy_ok()
                 and self._occ_grid_stable()):
             return self.occ_grid
         return None
@@ -470,6 +529,11 @@ class Trainer:
                     if cfg.occ_tighten:
                         self._occ_frac_hist.append(
                             float(jnp.mean(self.occ_grid.binaries)))
+                        if cfg.occ_entropy_max is not None:
+                            h = self._weight_entropy()
+                            self._entropy_hist.append(h)
+                            self.logger.scalar("occ/weight_entropy", h,
+                                               self.step)
 
                 k = self._block_size(self.step, self.steps_per_epoch - i,
                                      max_steps - self.step)
