@@ -11,7 +11,11 @@ class MetricsLogger:
     def __init__(self, log_dir, use_tensorboard=True):
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
-        self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        # line-buffered: the jsonl doubles as a liveness signal (the stall
+        # supervisor watches its growth), so block buffering would look
+        # like a 10-15 min stall between 8 KB flushes
+        self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a",
+                           buffering=1)
         self._tb = None
         if use_tensorboard:
             try:
