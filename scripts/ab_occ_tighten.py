@@ -40,6 +40,15 @@ ARMS = {
     "uniform64": dict(n_samples=64, occ_enabled=False, sampler="uniform"),
     "tight64": dict(n_samples=64, occ_enabled=True, occ_tighten=True),
     "imp48+32": dict(n_samples=48, n_importance=32, occ_enabled=False),
+    # entropy-gated tightening (geometry-quality gate): instrument with a
+    # permissive threshold to OBSERVE the entropy trajectory, or gate for
+    # real at the calibrated value
+    "tight64+H": dict(n_samples=64, occ_enabled=True, occ_tighten=True,
+                      occ_entropy_max=0.60),
+    "tight96+H": dict(n_samples=96, occ_enabled=True, occ_tighten=True,
+                      occ_entropy_max=0.60),
+    "tight64+H99": dict(n_samples=64, occ_enabled=True, occ_tighten=True,
+                        occ_entropy_max=0.99),  # gate-open probe: logs H
 }
 
 
@@ -65,6 +74,12 @@ def run_arm(scene, workdir, name, steps):
           f"wall={time.time()-t0:.0f}s  [resolved sampler={cfg.sampler} "
           f"n={cfg.n_samples}+{cfg.n_importance} tighten={cfg.occ_tighten}]",
           flush=True)
+    if trainer._entropy_hist:
+        h = trainer._entropy_hist
+        qs = [h[0], h[len(h) // 4], h[len(h) // 2], h[3 * len(h) // 4], h[-1]]
+        print(f"  weight-entropy trajectory (0/25/50/75/100%): "
+              + " ".join(f"{x:.3f}" for x in qs)
+              + f"  gate_open={trainer._entropy_ok()}", flush=True)
     return mae
 
 
