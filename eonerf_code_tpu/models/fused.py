@@ -73,6 +73,7 @@ class PallasField:
         # to them via supports_fused_render
         from eonerf_code_tpu.ops.pallas.fused_render import (
             make_fused_camera,
+            make_fused_coarse,
             make_fused_shadow,
         )
 
@@ -83,6 +84,10 @@ class PallasField:
         self.fused_shadow = make_fused_shadow(
             dtype, tile_target=tile, bwd_tile_target=bwd_tile,
             interpret=interpret, vmem_limit_mb=max(vmem_limit_mb or 0, 64),
+            mesh=mesh, data_axis=data_axis, trunk_quant=trunk_quant)
+        self.fused_coarse = make_fused_coarse(
+            dtype, tile_target=tile, interpret=interpret,
+            vmem_limit_mb=max(vmem_limit_mb or 0, 64),
             mesh=mesh, data_axis=data_axis, trunk_quant=trunk_quant)
         self.trunk_quant = trunk_quant
         self.pack = pack_params

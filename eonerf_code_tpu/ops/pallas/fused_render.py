@@ -22,6 +22,9 @@ v3 moves ray construction AND volume compositing inside the kernels:
   sun visibility (R, 8): [exit transmittance, 0...] — the geometric shadow
   readout (reference sat_rendering.py:106-116: EXCLUSIVE transmittance at
   the last in-cube sample; rays with no valid samples return 1).
+- `make_fused_coarse()(weights, rayin, z, deltam)` -> per-sample weights
+  (R, K) — the PDF source for hierarchical importance sampling
+  (forward-only: z_fine is drawn under stop_gradient).
 
 Both are custom_vjp ops whose backward is one kernel per tile
 (flash-style recompute) producing weight gradients plus PER-RAY input
@@ -514,6 +517,34 @@ def _shadow_bwd_kernel(dtype, quant, rt, kpad, rayin_ref, zcol_ref,
 
 
 # ---------------------------------------------------------------------------
+# coarse-weights kernel (the hierarchical sampler's PDF source)
+# ---------------------------------------------------------------------------
+
+def _coarse_fwd_kernel(dtype, quant, rt, kpad, rayin_ref, zcol_ref,
+                       deltam_ref, *rest):
+    """sigma-only trunk + in-kernel compositing, emitting the per-sample
+    WEIGHTS (rt, kpad) that drive importance resampling (the reference's
+    --n_importance, sample_pdf over coarse weights). Forward-only: the
+    caller draws z_fine under stop_gradient, so no cotangent ever reaches
+    this op."""
+    nq = N_Q8 if quant else 0
+    weight_refs = rest[:N_DENSITY_WEIGHTS]
+    q8 = _load_q8(rest[N_DENSITY_WEIGHTS:N_DENSITY_WEIGHTS + nq]) if quant else None
+    out_ref = rest[N_DENSITY_WEIGHTS + nq]
+    nt = rt * kpad
+    sel = _sel(nt, rt, kpad)
+    rayin = rayin_ref[:].astype(jnp.float32)
+    zcol = zcol_ref[:, 0:1].astype(jnp.float32)
+    xb = _expand(sel, _ray_basis(rayin, 0)) + \
+        _expand(sel, _ray_basis(rayin, 3)) * zcol
+    pe = _pe_from_xb(xb, dtype).astype(dtype)
+    sigma, _ = _density_trunk(pe, weight_refs, dtype, q8=q8)
+    _, (_sd, _tr, _em, _al, w_rk) = _compose_fwd(sel, sigma, deltam_ref[:],
+                                                 rt, kpad)
+    out_ref[:] = w_rk
+
+
+# ---------------------------------------------------------------------------
 # pallas_call plumbing
 # ---------------------------------------------------------------------------
 
@@ -786,3 +817,54 @@ def make_fused_shadow(compute_dtype=jnp.bfloat16, tile_target=2048,
 
     shadow.defvjp(fwd, bwd)
     return shadow
+
+
+def make_fused_coarse(compute_dtype=jnp.bfloat16, tile_target=2048,
+                      interpret=False, vmem_limit_mb=64, mesh=None,
+                      data_axis="data", trunk_quant=False):
+    """Returns coarse(weights: FieldWeights, rayin (R,16), z (R,K),
+    deltam (R,K)) -> per-sample compositing weights (R, K), the PDF source
+    for hierarchical importance sampling. rayin rows 0:3/3:6 carry the ray
+    origin/direction; deltam must arrive as delta * valid_mask (masked
+    samples then contribute exactly zero extinction, matching
+    render_weights' sigma masking). Forward-only — outputs are consumed
+    under stop_gradient by sample_pdf, so there is no backward kernel; the
+    wrapper stop_gradients both operands and results to keep any
+    accidental differentiation from reaching the pallas_call."""
+
+    def _forward(weights, rayin, z, deltam):
+        r, k = z.shape
+        kpad, (zcol, dp) = _prep(z, deltam)
+        rt = _rt_of(kpad, tile_target, r)
+        rp = _round_up(r, rt)
+        rayin_p = _pad_rows_to(rayin.astype(jnp.float32), rp)
+        zcol = _pad_rows_to(zcol, rp * kpad)
+        dp = _pad_rows_to(dp, rp)
+        flat_f32p = _pad_pe_rows(density_subset(weights))
+        flat = cast_matrices(flat_f32p, compute_dtype)
+        qargs = quantize_trunk_int8(flat_f32p) if trunk_quant else []
+        out = pl.pallas_call(
+            functools.partial(_coarse_fwd_kernel, compute_dtype, trunk_quant,
+                              rt, kpad),
+            out_shape=jax.ShapeDtypeStruct((rp, kpad), jnp.float32),
+            grid=(rp // rt,),
+            in_specs=[_ray_spec(rt, RAYIN_COLS), _pt_spec(rt * kpad, 8),
+                      _ray_spec(rt, kpad)]
+                     + [_const_spec(wt.shape) for wt in flat]
+                     + [_const_spec(q.shape) for q in qargs],
+            out_specs=_ray_spec(rt, kpad),
+            compiler_params=_cparams(vmem_limit_mb),
+            interpret=interpret,
+        )(rayin_p, zcol, dp, *flat, *qargs)
+        return out[:r, :k]
+
+    if mesh is not None:
+        from eonerf_code_tpu.ops.pallas.fused_field import _shard_fwd
+
+        _forward = _shard_fwd(_forward, mesh, data_axis)
+
+    def coarse(weights, rayin, z, deltam):
+        args = jax.lax.stop_gradient((weights, rayin, z, deltam))
+        return jax.lax.stop_gradient(_forward(*args))
+
+    return coarse

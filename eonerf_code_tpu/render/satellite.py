@@ -151,9 +151,18 @@ def _camera_samples(field, params, o, d, near, key, cfg: RenderConfig,
         _, _, zc_mid, c_delta = intervals_from_z(z_vals)
         c_pos = o[:, None, :] + d[:, None, :] * zc_mid[..., None]
         c_mask = cube_mask(c_pos, cfg.cube_bound)
-        c_sigma = field.apply(params, c_pos, method="density")
-        c_w, _, _ = render_weights(
-            c_sigma, set_last_valid(c_delta, c_mask, cfg.inf_delta), c_mask)
+        c_deltam = set_last_valid(c_delta, c_mask, cfg.inf_delta)
+        if getattr(field, "supports_fused_render", False):
+            # fused sigma + compositing with per-RAY input (no lane-padded
+            # (N,3) point stream); deltam*mask == render_weights' sigma
+            # masking (identical sdelta), so the two branches agree
+            rayin = jnp.concatenate(
+                [o, d, jnp.zeros((o.shape[0], 10), o.dtype)], axis=1)
+            c_w = field.fused_coarse(field.pack(params), rayin, zc_mid,
+                                     c_deltam * c_mask)
+        else:
+            c_sigma = field.apply(params, c_pos, method="density")
+            c_w, _, _ = render_weights(c_sigma, c_deltam, c_mask)
         z_fine = sample_pdf(k_fine, z_vals, c_w, cfg.n_importance,
                             perturb=cfg.perturb)
         z_vals = jnp.sort(jnp.concatenate(

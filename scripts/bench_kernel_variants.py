@@ -249,6 +249,145 @@ def kernel_mm_i8_k512(pos_ref, *rest):
     out_ref[:] = h8[:, :1].astype(jnp.float32)
 
 
+# ---------------------------------------------------------------------------
+# backward-pass slab variants: recompute vs saved activations
+#
+# The production backward kernels recompute the trunk forward in-kernel
+# (flash-style) before dgrad/wgrad: 3 chained-matmul passes of MXU time.
+# The alternative spends (otherwise idle) HBM bandwidth instead: the forward
+# additionally WRITES the 8 post-relu activations (n, 2048) bf16, and the
+# backward READS them and skips the recompute (2 passes). These variants
+# measure both sides of that trade at slab level:
+#
+#   mm_fwd_save  - fwd chain + streaming the (tile, 2048) activations out
+#   mm_bwd_rec   - recompute fwd + dgrad chain + wgrad outers  (3x slab)
+#   mm_bwd_saved - read saved acts + dgrad chain + wgrad outers (2x slab)
+#
+# Decision rule: adopt saved-acts iff
+#   t(mm_fwd_save) + t(mm_bwd_saved)  <  t(mm_only) + t(mm_bwd_rec)
+# ---------------------------------------------------------------------------
+
+
+def kernel_mm_fwd_save(pos_ref, *rest):
+    weight_refs = rest[:N_DENSITY_WEIGHTS]
+    out_ref, acts_ref = rest[N_DENSITY_WEIGHTS], rest[N_DENSITY_WEIGHTS + 1]
+    tw = [r[:] for r in weight_refs[:8]]
+    n = pos_ref.shape[0]
+    h = jnp.zeros((n, 256), DT) + pos_ref[0, 0].astype(DT)
+    for i in range(8):
+        h = jnp.maximum(
+            jax.lax.dot_general(h, tw[1], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32),
+            0.0).astype(DT)
+        acts_ref[:, 256 * i:256 * (i + 1)] = h
+    out_ref[:] = h[:, :1].astype(jnp.float32)
+
+
+def _bwd_core(g, acts, tw, dw_refs, first):
+    """Shared dgrad+wgrad chain: acts[i] = post-relu output of layer i,
+    acts[-1] (i.e. index -1 handled by caller) = layer input."""
+    for i in range(7, -1, -1):
+        mask = (acts[i] > 0).astype(DT)
+        g = g * mask
+        inp = acts[i - 1] if i > 0 else acts[8]   # acts[8] = layer-0 input
+        dw = jax.lax.dot_general(inp, g, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ref = dw_refs[i]
+
+        @pl.when(first)
+        def _(ref=ref, dw=dw):
+            ref[:] = dw
+
+        @pl.when(jnp.logical_not(first))
+        def _(ref=ref, dw=dw):
+            ref[:] = ref[:] + dw
+        g = jax.lax.dot_general(g, tw[1], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32).astype(DT)
+    return g
+
+
+def kernel_mm_bwd_rec(pos_ref, *rest):
+    weight_refs = rest[:N_DENSITY_WEIGHTS]
+    out_ref = rest[N_DENSITY_WEIGHTS]
+    dw_refs = rest[N_DENSITY_WEIGHTS + 1:]
+    tw = [r[:] for r in weight_refs[:8]]
+    n = pos_ref.shape[0]
+    h0 = jnp.zeros((n, 256), DT) + pos_ref[0, 0].astype(DT)
+    acts = []
+    h = h0
+    for i in range(8):
+        h = jnp.maximum(
+            jax.lax.dot_general(h, tw[1], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32),
+            0.0).astype(DT)
+        acts.append(h)
+    acts.append(h0)
+    g = jnp.zeros((n, 256), DT) + pos_ref[0, 1].astype(DT)
+    g = _bwd_core(g, acts, tw, dw_refs, pl.program_id(0) == 0)
+    out_ref[:] = g[:, :1].astype(jnp.float32)
+
+
+def kernel_mm_bwd_saved(pos_ref, acts_ref, *rest):
+    weight_refs = rest[:N_DENSITY_WEIGHTS]
+    out_ref = rest[N_DENSITY_WEIGHTS]
+    dw_refs = rest[N_DENSITY_WEIGHTS + 1:]
+    tw = [r[:] for r in weight_refs[:8]]
+    n = pos_ref.shape[0]
+    h0 = jnp.zeros((n, 256), DT) + pos_ref[0, 0].astype(DT)
+    acts = [acts_ref[:, 256 * i:256 * (i + 1)] for i in range(8)]
+    acts.append(h0)
+    g = jnp.zeros((n, 256), DT) + pos_ref[0, 1].astype(DT)
+    g = _bwd_core(g, acts, tw, dw_refs, pl.program_id(0) == 0)
+    out_ref[:] = g[:, :1].astype(jnp.float32)
+
+
+def build_bwd(variant, n, tile):
+    field = EONerfField(n_images=10, compute_dtype=DT)
+    params = field.init(jax.random.PRNGKey(0), jnp.zeros((2, 3, 3)),
+                        jnp.zeros((2, 3)), jnp.zeros((2,), jnp.int32),
+                        method="init_all")
+    w = pack_params(params)
+    flat = _pad_pe_rows(cast_matrices(density_subset(w), DT))
+    saved = variant == "mm_bwd_saved"
+    save_out = variant == "mm_fwd_save"
+    kern = {"mm_fwd_save": kernel_mm_fwd_save,
+            "mm_bwd_rec": kernel_mm_bwd_rec,
+            "mm_bwd_saved": kernel_mm_bwd_saved}[variant]
+    out_shapes = [jax.ShapeDtypeStruct((n, 1), jnp.float32)]
+    out_specs = [_tile_spec(tile, 1)]
+    if save_out:
+        out_shapes.append(jax.ShapeDtypeStruct((n, 2048), DT))
+        out_specs.append(_tile_spec(tile, 2048))
+    else:
+        out_shapes += [jax.ShapeDtypeStruct((256, 256), jnp.float32)] * 8
+        out_specs += [_const_spec((256, 256))] * 8
+
+    def fn(pos, acts):
+        ins = [pos] + ([acts] if saved else [])
+        in_specs = [_tile_spec(tile, 3)] + \
+            ([_tile_spec(tile, 2048)] if saved else [])
+        return pl.pallas_call(
+            kern,
+            out_shape=tuple(out_shapes),
+            grid=(n // tile,),
+            in_specs=in_specs + [_const_spec(x.shape) for x in flat],
+            out_specs=tuple(out_specs),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 2**20),
+        )(*ins, *flat)
+
+    @jax.jit
+    def chained(pos, acts, iters_arr):
+        def body(c, _):
+            outs = fn(pos * (1.0 + c * 1e-20), acts)
+            return outs[0][0, 0] * 1e-20, None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), iters_arr)
+        return c
+
+    return chained
+
+
 def build(variant, n, tile):
     field = EONerfField(n_images=10, compute_dtype=DT)
     params = field.init(jax.random.PRNGKey(0), jnp.zeros((2, 3, 3)),
@@ -309,7 +448,10 @@ def flops(variant, n):
               "mm_i8_dyn": 2 * 8 * 256 * 256,
               "mm_f8": 2 * 8 * 256 * 256,
               "mm_k512": 2 * 4 * 512 * 512,
-              "mm_i8_k512": 2 * 4 * 512 * 512}[variant]
+              "mm_i8_k512": 2 * 4 * 512 * 512,
+              "mm_fwd_save": 2 * 8 * 256 * 256,
+              "mm_bwd_rec": 2 * 24 * 256 * 256,
+              "mm_bwd_saved": 2 * 16 * 256 * 256}[variant]
     return per_pt * n
 
 
@@ -321,8 +463,25 @@ def main(n=1040384, tile=2048, iters=10, only=None):
     iters_arr = jnp.zeros((iters,))
     variants = only.split(",") if only else (
         "full", "trunk", "nope", "norelu", "nocast", "mm_only")
+    acts = None
     for variant in variants:
         print(f"building {variant}...", flush=True)
+        if variant.startswith(("mm_fwd_save", "mm_bwd")):
+            if acts is None:
+                acts = jax.random.normal(key, (n, 2048), DT)
+            chained = functools.partial(build_bwd(variant, n, tile),
+                                        acts=acts)
+            c = chained(pos, iters_arr=iters_arr)
+            _ = float(c)
+            t0 = time.perf_counter()
+            c = chained(pos, iters_arr=iters_arr)
+            _ = float(c)
+            dt = (time.perf_counter() - t0) / iters
+            f = flops(variant, n)
+            print(f"{variant:12s} tile={tile}  {dt*1e3:7.2f} ms  "
+                  f"{f/dt/1e12:6.1f} TFLOP/s  ({100*f/dt/1e12/197:4.1f}% peak)",
+                  flush=True)
+            continue
         chained = build(variant, n, tile)
         c = chained(pos, emb, iters_arr)
         _ = float(c)

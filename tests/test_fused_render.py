@@ -185,6 +185,41 @@ class TestShadowOp:
         assert float(jnp.abs(gw.bott_w).max()) == 0.0
 
 
+class TestCoarseOp:
+    def test_forward_parity(self, setup):
+        """Fused coarse weights == render_weights over the same sigma field
+        (deltam*mask carries the masking, identical sdelta)."""
+        from eonerf_code_tpu.ops.pallas.fused_render import make_fused_coarse
+
+        field, params, (o, d, z, delta, mask, idx) = setup
+        co = make_fused_coarse(jnp.float32, interpret=True)
+        pos = o[:, None, :] + d[:, None, :] * z[..., None]
+        sigma = field.apply(params, pos, method="density")
+        deltam = set_last_valid(delta, mask, 1e10)
+        ref, _, _ = render_weights(sigma, deltam, mask)
+        w = co(pack_params(params), _rayin(o, d, jnp.zeros((o.shape[0], 4))),
+               z, deltam * mask)
+        assert w.shape == z.shape
+        np.testing.assert_allclose(np.asarray(w), np.asarray(ref),
+                                   rtol=2e-5, atol=1e-6)
+
+    def test_no_gradient_leak(self, setup):
+        """The op is forward-only; differentiating through a consumer that
+        (wrongly) touches it must see zero, not crash."""
+        from eonerf_code_tpu.ops.pallas.fused_render import make_fused_coarse
+
+        field, params, (o, d, z, delta, mask, idx) = setup
+        co = make_fused_coarse(jnp.float32, interpret=True)
+        deltam = set_last_valid(delta, mask, 1e10) * mask
+
+        def f(w):
+            out = co(w, _rayin(o, d, jnp.zeros((o.shape[0], 4))), z, deltam)
+            return jnp.sum(out)
+
+        g = jax.grad(f)(pack_params(params))
+        assert float(jnp.abs(g.trunk_w[0]).max()) == 0.0
+
+
 class TestRendererDispatch:
     def test_render_rays_fused_matches_per_sample_path(self):
         """render_rays through PallasField (fused path) vs through the raw
@@ -245,6 +280,42 @@ class TestRendererDispatch:
         denom = float(jnp.linalg.norm(flat_r)) + 1e-12
         rel = float(jnp.linalg.norm(flat_f - flat_r)) / denom
         assert rel < 1e-4, f"gradient rel-L2 {rel}"
+
+    def test_render_rays_fused_hierarchical_matches(self):
+        """The hierarchical path (n_importance > 0): the fused coarse op
+        feeds sample_pdf with the same weights the per-sample path computes,
+        so both backends draw the same z_fine and the outputs agree."""
+        from eonerf_code_tpu.data.rays import satrays_from_tensor
+        from eonerf_code_tpu.models.fused import PallasField
+        from eonerf_code_tpu.render.satellite import RenderConfig, render_rays
+
+        rng = np.random.default_rng(13)
+        field = EONerfField(n_images=4)
+        params = field.init(jax.random.PRNGKey(0), jnp.zeros((2, 3, 3)),
+                            jnp.zeros((2, 3)), jnp.zeros((2,), jnp.int32),
+                            method="init_all")
+        pf = PallasField(field, interpret=True, tile=512, bwd_tile=512)
+        n = 24
+        o = np.zeros((n, 3), np.float32)
+        o[:, 0] = rng.uniform(-0.8, 0.8, n)
+        o[:, 1] = rng.uniform(-0.8, 0.8, n)
+        o[:, 2] = 0.999
+        d = np.tile(np.array([0.05, 0.02, -1.0], np.float32), (n, 1))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        sun = np.tile(np.array([0.3, 0.2, -0.93], np.float32), (n, 1))
+        sun /= np.linalg.norm(sun, axis=1, keepdims=True)
+        rays_t = np.hstack([o, d, np.zeros((n, 1), np.float32),
+                            2.0 * np.ones((n, 1), np.float32), sun])
+        rays = satrays_from_tensor(jnp.asarray(rays_t),
+                                   jnp.asarray(rng.integers(0, 4, n).astype(np.int32)))
+        cfg = RenderConfig(n_samples=12, n_importance=8, sc_n_samples=16)
+        key = jax.random.PRNGKey(7)
+        out_ref = render_rays(field, params, rays, key, cfg, shadows=True)
+        out_fused = render_rays(pf, params, rays, key, cfg, shadows=True)
+        for k in ("rgb", "depth", "geo_shadows", "beta", "pts_per_ray"):
+            np.testing.assert_allclose(
+                np.asarray(out_fused[k]), np.asarray(out_ref[k]),
+                rtol=3e-5, atol=2e-5, err_msg=k)
 
     def test_render_depth_fused_matches(self):
         from eonerf_code_tpu.data.rays import satrays_from_tensor

@@ -21,6 +21,7 @@ from eonerf_code_tpu.models.eonerf import EONerfField
 from eonerf_code_tpu.ops.pallas.fused_field import pack_params
 from eonerf_code_tpu.ops.pallas.fused_render import (
     make_fused_camera,
+    make_fused_coarse,
     make_fused_shadow,
 )
 from eonerf_code_tpu.ops.sampling import set_last_valid
@@ -86,6 +87,19 @@ def test_camera_matches_unsharded(mesh, setup, tier):
     _, vjp = jax.vjp(lambda w_, r_: cam(w_, r_, z, deltam), w, rayin)
     _, vjp_sh = jax.vjp(lambda w_, r_: cam_sh(w_, r_, z, deltam), w, rayin)
     _assert_leaves_equal(vjp_sh(gacc), vjp(gacc))
+
+
+def test_coarse_matches_unsharded(mesh, setup):
+    """The forward-only coarse-weights op through shard_map."""
+    w, (rayin, z, delta, mask, _, _) = setup
+    deltam = set_last_valid(delta, mask, 1e10) * mask
+    kw = dict(compute_dtype=jnp.float32, tile_target=64, interpret=True)
+    co = make_fused_coarse(**kw)
+    co_sh = make_fused_coarse(mesh=mesh, **kw)
+    cw = jax.jit(lambda w_, r_: co(w_, r_, z, deltam))(w, rayin)
+    cw_sh = jax.jit(lambda w_, r_: co_sh(w_, r_, z, deltam))(w, rayin)
+    np.testing.assert_allclose(np.asarray(cw_sh), np.asarray(cw),
+                               rtol=1e-6, atol=1e-6)
 
 
 @pytest.mark.parametrize("tier", TIERS)
