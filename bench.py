@@ -51,7 +51,7 @@ def device_peak_tflops(device_str):
 
 
 def build_step(n_images=10, n_samples=128, compute_dtype="bfloat16", scan_steps=20,
-               trunk_quant=False):
+               trunk_quant=False, save_acts=False):
     """Returns (megastep, params, opt_state): `scan_steps` full train steps
     chained by lax.scan inside one jit dispatch — the framework's real
     training operating mode (train/loop.py make_megastep). Uses the trainer's
@@ -74,7 +74,8 @@ def build_step(n_images=10, n_samples=128, compute_dtype="bfloat16", scan_steps=
     if compute_dtype == "bfloat16" and jax.default_backend() == "tpu":
         from eonerf_code_tpu.models.fused import PallasField
 
-        field = PallasField(base_field, trunk_quant=trunk_quant)
+        field = PallasField(base_field, trunk_quant=trunk_quant,
+                            save_acts=save_acts)
     else:
         field = base_field
     optimizer = optax.adam(5e-4)
@@ -155,8 +156,12 @@ def main():
     # operating points (kernel arithmetic only; workload identical)
     trunk_quant = {"int8": True, "int8_full": "full"}.get(
         os.environ.get("EONERF_BENCH_QUANT", "none"), False)
+    # A/B hook: EONERF_BENCH_BWD_ACTS=saved measures the saved-activations
+    # backward (stream trunk acts through HBM, skip the bwd recompute pass)
+    save_acts = os.environ.get("EONERF_BENCH_BWD_ACTS", "recompute") == "saved"
     results = {}
-    train_step, params, opt_state = build_step(trunk_quant=trunk_quant)
+    train_step, params, opt_state = build_step(trunk_quant=trunk_quant,
+                                               save_acts=save_acts)
     for bs in (4096, 8192, 16384):
         try:
             results[bs] = time_batch(train_step, params, opt_state, bs)
@@ -187,6 +192,7 @@ def main():
         "shadows": True,
         "trunk_quant": {True: "int8", "full": "int8_full"}.get(
             trunk_quant, "none"),
+        "bwd_acts": "saved" if save_acts else "recompute",
         # FLOP-counted efficiency: logical model matmul flops (fwd + 3x-fwd
         # backward, camera + shadow passes), NOT padded kernel flops
         "model_flops_per_ray": fpr,

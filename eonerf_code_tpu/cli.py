@@ -78,6 +78,11 @@ def build_parser():
                         "MXU int8 = 2x bf16; straight-through gradients); "
                         "int8_full also quantizes the trunk dgrad/wgrad "
                         "cotangent matmuls")
+    g.add_argument("--bwd_acts", type=str, default="recompute",
+                   choices=["recompute", "saved"],
+                   help="fused-kernel backward: recompute the trunk in-kernel "
+                        "(default) or stream saved activations through HBM "
+                        "and skip the recompute pass")
     g.add_argument("--data_axis", type=int, default=1,
                    help="devices on the ray-batch mesh axis: N>1 shards the "
                         "ray pool + every batch over N chips (gradient psum "

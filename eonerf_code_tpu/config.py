@@ -139,6 +139,16 @@ class TrainConfig:
                                          # in int8 (weight-scale-folded
                                          # cotangent quantization). Both
                                          # require the Pallas backend.
+    bwd_acts: str = "recompute"          # fused-kernel backward mode:
+                                         # "recompute" = flash-style in-kernel
+                                         # trunk recompute (no extra HBM);
+                                         # "saved" = the differentiated
+                                         # forward streams the trunk
+                                         # activations to HBM and the
+                                         # backward reads them (skips the
+                                         # recompute matmul pass; auto-falls
+                                         # back to recompute above a per-pass
+                                         # stream cap). Pallas backend only.
 
     def __post_init__(self):
         if self.model == "eo-nerf":

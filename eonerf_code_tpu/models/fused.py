@@ -46,13 +46,14 @@ def make_render_field(field, cfg, mesh=None):
         getattr(cfg, "trunk_quant", "none"), False)
     return PallasField(field, mesh=mesh,
                        interpret=jax.default_backend() == "cpu",
-                       trunk_quant=quant)
+                       trunk_quant=quant,
+                       save_acts=getattr(cfg, "bwd_acts", "recompute") == "saved")
 
 
 class PallasField:
     def __init__(self, field, tile=2048, bwd_tile=1024, interpret=False,
                  vmem_limit_mb=32, mesh=None, data_axis="data",
-                 trunk_quant=False):
+                 trunk_quant=False, save_acts=False):
         # defaults = the measured v5e optimum (scripts/scan_pallas_tiles.py);
         # bwd_tile=1024 needs the raised scoped-vmem limit. With `mesh` the
         # kernels shard_map over `data_axis` (weights replicated, weight
@@ -80,11 +81,13 @@ class PallasField:
         self.fused_camera = make_fused_camera(
             dtype, tile_target=tile, bwd_tile_target=bwd_tile,
             interpret=interpret, vmem_limit_mb=max(vmem_limit_mb or 0, 64),
-            mesh=mesh, data_axis=data_axis, trunk_quant=trunk_quant)
+            mesh=mesh, data_axis=data_axis, trunk_quant=trunk_quant,
+            save_acts=save_acts)
         self.fused_shadow = make_fused_shadow(
             dtype, tile_target=tile, bwd_tile_target=bwd_tile,
             interpret=interpret, vmem_limit_mb=max(vmem_limit_mb or 0, 64),
-            mesh=mesh, data_axis=data_axis, trunk_quant=trunk_quant)
+            mesh=mesh, data_axis=data_axis, trunk_quant=trunk_quant,
+            save_acts=save_acts)
         self.fused_coarse = make_fused_coarse(
             dtype, tile_target=tile, interpret=interpret,
             vmem_limit_mb=max(vmem_limit_mb or 0, 64),

@@ -196,16 +196,10 @@ def _scan_excl(y, reverse=False):
     return z
 
 
-def _field_heads_fwd(pe, emb64, w: FieldWeights, dtype, with_res=False,
-                     q8=None):
-    """Trunk + per-sample heads (shared by camera fwd and bwd-recompute).
-    Returns (sigma_col f32, albedo, ts, tb[, residuals]). With ``q8`` the
-    trunk runs int8 (heads stay in the compute dtype)."""
-    if with_res:
-        acts, masks = _trunk_fwd_any(pe, w, dtype, q8=q8, with_masks=True)
-    else:
-        acts = _trunk_fwd_any(pe, w, dtype, q8=q8)
-    h = acts[-1]
+def _heads_fwd(h, emb64, w: FieldWeights, dtype, with_res=False):
+    """Per-sample heads from the trunk output h (sigma/bottleneck, albedo,
+    transient, beta). Split out so the saved-activations backward can
+    recompute ONLY the heads from the streamed trunk activations."""
     sig_pre = _mm(h, w.sigma_w, w.sigma_b)
     sigma = _softplus(sig_pre)
     bott = _mm(h, w.bott_w, w.bott_b).astype(dtype)
@@ -226,10 +220,37 @@ def _field_heads_fwd(pe, emb64, w: FieldWeights, dtype, with_res=False,
     tb = _softplus(tb_pre)
     if not with_res:
         return sigma, albedo, ts, tb
-    res = dict(acts=acts, masks=masks, h=h, sig_pre=sig_pre, bott=bott,
-               ah_pre=ah_pre, ah=ah, albedo=albedo, t_in=t_in,
-               t_acts=t_acts, t_masks=t_masks, ts=ts, tb_pre=tb_pre)
+    res = dict(h=h, sig_pre=sig_pre, bott=bott, ah_pre=ah_pre, ah=ah,
+               albedo=albedo, t_in=t_in, t_acts=t_acts, t_masks=t_masks,
+               ts=ts, tb_pre=tb_pre)
     return sigma, albedo, ts, tb, res
+
+
+def _field_heads_fwd(pe, emb64, w: FieldWeights, dtype, with_res=False,
+                     q8=None):
+    """Trunk + per-sample heads (shared by camera fwd and bwd-recompute).
+    Returns (sigma_col f32, albedo, ts, tb[, residuals]). With ``q8`` the
+    trunk runs int8 (heads stay in the compute dtype)."""
+    if with_res:
+        acts, masks = _trunk_fwd_any(pe, w, dtype, q8=q8, with_masks=True)
+        sigma, albedo, ts, tb, res = _heads_fwd(acts[-1], emb64, w, dtype,
+                                                with_res=True)
+        res.update(acts=acts, masks=masks)
+        return sigma, albedo, ts, tb, res
+    acts = _trunk_fwd_any(pe, w, dtype, q8=q8)
+    return _heads_fwd(acts[-1], emb64, w, dtype)
+
+
+def _masks_from_acts(acts, dtype):
+    """relu-derivative multipliers recovered from saved POST-relu
+    activations: act > 0 iff pre > 0 (max(pre,0) preserves sign; the only
+    divergence is an f32 pre in (0, bf16-subnormal-min) flushing to zero on
+    the save cast — numerically irrelevant). Compare in f32: Mosaic has no
+    bf16 cmpf."""
+    return [_relu_mask(a.astype(jnp.float32), dtype) for a in acts]
+
+
+N_TRUNK_ACTS_COLS = 8 * 256   # saved-activations stream: h0..h7 lanes
 
 
 def _compose_fwd(sel, sigma_col, deltam_rk, rt, kpad):
@@ -259,7 +280,7 @@ def _values8(zcol, albedo, ts, tb):
 # camera kernels
 # ---------------------------------------------------------------------------
 
-def _camera_fwd_kernel(dtype, quant, rt, kpad, rayin_ref, zcol_ref,
+def _camera_fwd_kernel(dtype, quant, rt, kpad, save, rayin_ref, zcol_ref,
                        deltam_ref, *rest):
     nq = N_Q8 if quant else 0
     weight_refs, acc_ref = rest[:N_WEIGHTS], rest[N_WEIGHTS + nq]
@@ -273,14 +294,25 @@ def _camera_fwd_kernel(dtype, quant, rt, kpad, rayin_ref, zcol_ref,
         _expand(sel, _ray_basis(rayin, 3)) * zcol
     pe = _pe_from_xb(xb, dtype).astype(dtype)
     emb64 = _expand(sel, _emb_basis(rayin))
-    sigma, albedo, ts, tb = _field_heads_fwd(pe, emb64, w, dtype, q8=q8)
+    if save:
+        # stream the post-relu trunk activations out for the backward
+        # (spends HBM bandwidth to skip the flash-style recompute there)
+        acts_ref = rest[N_WEIGHTS + nq + 1]
+        acts = _trunk_fwd_any(pe, w, dtype, q8=q8)
+        for i in range(8):
+            acts_ref[:, 256 * i:256 * (i + 1)] = acts[i]
+        sigma, albedo, ts, tb = _heads_fwd(acts[-1], emb64, w, dtype)
+    else:
+        sigma, albedo, ts, tb = _field_heads_fwd(pe, emb64, w, dtype, q8=q8)
     w_col, _ = _compose_fwd(sel, sigma, deltam_ref[:], rt, kpad)
     v8 = _values8(zcol, albedo, ts, tb) * w_col
     acc_ref[:] = _reduce_rays(sel, v8)
 
 
-def _camera_bwd_kernel(dtype, quant, rt, kpad, rayin_ref, zcol_ref,
+def _camera_bwd_kernel(dtype, quant, rt, kpad, saved, rayin_ref, zcol_ref,
                        deltam_ref, gacc_ref, *rest):
+    if saved:
+        acts_in_ref, rest = rest[0], rest[1:]
     nq = N_Q8 if quant else 0
     weight_refs = rest[:N_WEIGHTS]
     q8 = _load_q8(rest[N_WEIGHTS:N_WEIGHTS + nq]) if quant else None
@@ -295,12 +327,21 @@ def _camera_bwd_kernel(dtype, quant, rt, kpad, rayin_ref, zcol_ref,
     deltam = deltam_ref[:]
 
     # ---- recompute forward with residuals ----
+    # (pe is recomputed in BOTH modes: the trunk wgrads for layers 0/5 and
+    # the d_origin path need it, and it is transcendentals, not a matmul
+    # pass. `saved` skips only the 8-matmul trunk recompute.)
     xb = _expand(sel, _ray_basis(rayin, 0)) + \
         _expand(sel, _ray_basis(rayin, 3)) * zcol
     pe = _pe_from_xb(xb, dtype).astype(dtype)
     emb64 = _expand(sel, _emb_basis(rayin))
-    sigma, albedo, ts, tb, res = _field_heads_fwd(pe, emb64, w, dtype,
-                                                  with_res=True, q8=q8)
+    if saved:
+        acts = [acts_in_ref[:, 256 * i:256 * (i + 1)] for i in range(8)]
+        sigma, albedo, ts, tb, res = _heads_fwd(acts[-1], emb64, w, dtype,
+                                                with_res=True)
+        res.update(acts=acts, masks=_masks_from_acts(acts, dtype))
+    else:
+        sigma, albedo, ts, tb, res = _field_heads_fwd(pe, emb64, w, dtype,
+                                                      with_res=True, q8=q8)
     w_col, (sdelta, trans, em, alpha, w_rk) = _compose_fwd(
         sel, sigma, deltam, rt, kpad)
     v_raw = _values8(zcol, albedo, ts, tb)
@@ -405,12 +446,18 @@ def _camera_bwd_kernel(dtype, quant, rt, kpad, rayin_ref, zcol_ref,
 # shadow kernels (density trunk + exit transmittance)
 # ---------------------------------------------------------------------------
 
-def _density_trunk(pe, weight_refs, dtype, with_res=False, q8=None):
+def _density_trunk(pe, weight_refs, dtype, with_res=False, q8=None,
+                   acts=None):
+    """sigma-only trunk. With ``acts`` (saved-activations backward) the
+    8-matmul trunk recompute is skipped and relu masks are recovered from
+    the saved post-relu activations."""
     tw = [r[:] for r in weight_refs[:8]]
     tb = [r[:] for r in weight_refs[8:16]]
     sw, sb = weight_refs[16][:], weight_refs[17][:]
     w = FieldWeights(tuple(tw), tuple(tb), sw, sb, *([None] * 12))
-    if with_res:
+    if acts is not None:
+        masks = _masks_from_acts(acts, dtype) if with_res else None
+    elif with_res:
         acts, masks = _trunk_fwd_any(pe, w, dtype, q8=q8, with_masks=True)
     else:
         acts = _trunk_fwd_any(pe, w, dtype, q8=q8)
@@ -422,7 +469,7 @@ def _density_trunk(pe, weight_refs, dtype, with_res=False, q8=None):
     return sigma, w, acts, masks, h, sig_pre
 
 
-def _shadow_fwd_kernel(dtype, quant, rt, kpad, rayin_ref, zcol_ref,
+def _shadow_fwd_kernel(dtype, quant, rt, kpad, save, rayin_ref, zcol_ref,
                        deltam_ref, mask_ref, *rest):
     nq = N_Q8 if quant else 0
     weight_refs = rest[:N_DENSITY_WEIGHTS]
@@ -435,7 +482,18 @@ def _shadow_fwd_kernel(dtype, quant, rt, kpad, rayin_ref, zcol_ref,
     xb = _expand(sel, _ray_basis(rayin, 0)) + \
         _expand(sel, _ray_basis(rayin, 3)) * zcol
     pe = _pe_from_xb(xb, dtype).astype(dtype)
-    sigma, _ = _density_trunk(pe, weight_refs, dtype, q8=q8)
+    if save:
+        acts_ref = rest[N_DENSITY_WEIGHTS + nq + 1]
+        tw = [r[:] for r in weight_refs[:8]]
+        tb = [r[:] for r in weight_refs[8:16]]
+        w = FieldWeights(tuple(tw), tuple(tb), weight_refs[16][:],
+                         weight_refs[17][:], *([None] * 12))
+        acts = _trunk_fwd_any(pe, w, dtype, q8=q8)
+        for i in range(8):
+            acts_ref[:, 256 * i:256 * (i + 1)] = acts[i]
+        sigma = _softplus(_mm(acts[-1], w.sigma_w, w.sigma_b))
+    else:
+        sigma, _ = _density_trunk(pe, weight_refs, dtype, q8=q8)
     sigma_rk = _col_to_rk(sel, sigma, kpad)
     sdelta = sigma_rk * deltam_ref[:]
     # exclusive transmittance AT the last valid sample: sum of sdelta over
@@ -450,8 +508,10 @@ def _shadow_fwd_kernel(dtype, quant, rt, kpad, rayin_ref, zcol_ref,
         [geo, jnp.zeros((rt, ACC_COLS - 1), jnp.float32)], axis=1)
 
 
-def _shadow_bwd_kernel(dtype, quant, rt, kpad, rayin_ref, zcol_ref,
+def _shadow_bwd_kernel(dtype, quant, rt, kpad, saved, rayin_ref, zcol_ref,
                        deltam_ref, mask_ref, ggeo_ref, *rest):
+    if saved:
+        acts_in_ref, rest = rest[0], rest[1:]
     nq = N_Q8 if quant else 0
     weight_refs = rest[:N_DENSITY_WEIGHTS]
     q8 = _load_q8(rest[N_DENSITY_WEIGHTS:N_DENSITY_WEIGHTS + nq]) if quant else None
@@ -467,8 +527,10 @@ def _shadow_bwd_kernel(dtype, quant, rt, kpad, rayin_ref, zcol_ref,
     xb = _expand(sel, _ray_basis(rayin, 0)) + \
         _expand(sel, _ray_basis(rayin, 3)) * zcol
     pe = _pe_from_xb(xb, dtype).astype(dtype)
+    saved_acts = ([acts_in_ref[:, 256 * i:256 * (i + 1)] for i in range(8)]
+                  if saved else None)
     sigma, w, acts, masks, h, sig_pre = _density_trunk(
-        pe, weight_refs, dtype, with_res=True, q8=q8)
+        pe, weight_refs, dtype, with_res=True, q8=q8, acts=saved_acts)
     sigma_rk = _col_to_rk(sel, sigma, kpad)
     sdelta = sigma_rk * deltam
     maskf = mask_ref[:]
@@ -603,10 +665,15 @@ def _prep(z, deltam, mask=None):
     return kpad, out
 
 
+def _saved_bytes(r, kpad, compute_dtype):
+    return r * kpad * N_TRUNK_ACTS_COLS * jnp.dtype(compute_dtype).itemsize
+
+
 def make_fused_camera(compute_dtype=jnp.bfloat16, tile_target=2048,
                       bwd_tile_target=1024, interpret=False,
                       vmem_limit_mb=64, mesh=None, data_axis="data",
-                      trunk_quant=False):
+                      trunk_quant=False, save_acts=False,
+                      save_acts_cap_mb=6144):
     """Returns camera(weights: FieldWeights, rayin (R,16), z (R,K),
     deltam (R,K)) -> acc (R, 8) with fused forward and backward.
 
@@ -616,9 +683,21 @@ def make_fused_camera(compute_dtype=jnp.bfloat16, tile_target=2048,
     RAY axis (R must divide the axis size). ``trunk_quant`` True runs the
     trunk matmuls (fwd + bwd recompute) in int8; "full" additionally runs
     the trunk dgrad/wgrad cotangent matmuls in int8 — see
-    quantize_trunk_int8 / _trunk_bwd_q8."""
+    quantize_trunk_int8 / _trunk_bwd_q8.
 
-    def _forward(weights, rayin, z, deltam):
+    ``save_acts`` trades HBM bandwidth for MXU time: the differentiated
+    forward additionally streams the 8 post-relu trunk activations
+    ((R*KPAD, 2048) in the compute dtype) to HBM and the backward reads
+    them instead of recomputing the trunk chain (the dominant third of its
+    matmul work). Falls back to flash-style recompute per call whenever the
+    stream would exceed ``save_acts_cap_mb`` (the buffer lives from forward
+    to backward, so an unbounded stream would overrun HBM at large
+    batches). The undifferentiated primal never saves."""
+    if save_acts and trunk_quant:
+        raise ValueError("save_acts is bf16/f32-only (int8 was measured "
+                         "slower; don't combine)")
+
+    def _forward(weights, rayin, z, deltam, save=False):
         r, k = z.shape
         kpad, (zcol, dp) = _prep(z, deltam)
         rt = _rt_of(kpad, tile_target, r)
@@ -629,23 +708,37 @@ def make_fused_camera(compute_dtype=jnp.bfloat16, tile_target=2048,
         flat_f32 = _pad_pe_rows(flatten_weights(weights), with_transient=True)
         flat = cast_matrices(flat_f32, compute_dtype)
         qargs = quantize_trunk_int8(flat_f32) if trunk_quant else []
-        acc = pl.pallas_call(
+        out_shape = [jax.ShapeDtypeStruct((rp, ACC_COLS), jnp.float32)]
+        out_specs = [_ray_spec(rt, ACC_COLS)]
+        if save:
+            out_shape.append(jax.ShapeDtypeStruct(
+                (rp * kpad, N_TRUNK_ACTS_COLS), compute_dtype))
+            out_specs.append(_pt_spec(rt * kpad, N_TRUNK_ACTS_COLS))
+        outs = pl.pallas_call(
             functools.partial(_camera_fwd_kernel, compute_dtype, trunk_quant,
-                              rt, kpad),
-            out_shape=jax.ShapeDtypeStruct((rp, ACC_COLS), jnp.float32),
+                              rt, kpad, save),
+            out_shape=tuple(out_shape) if save else out_shape[0],
             grid=(rp // rt,),
             in_specs=[_ray_spec(rt, RAYIN_COLS), _pt_spec(rt * kpad, 8),
                       _ray_spec(rt, kpad)]
                      + [_const_spec(wt.shape) for wt in flat]
                      + [_const_spec(q.shape) for q in qargs],
-            out_specs=_ray_spec(rt, ACC_COLS),
+            out_specs=tuple(out_specs) if save else out_specs[0],
             compiler_params=_cparams(vmem_limit_mb),
             interpret=interpret,
         )(rayin_p, zcol, dp, *flat, *qargs)
-        return acc[:r]
+        if save:
+            return outs[0][:r], outs[1][:r * kpad]
+        return outs[:r]
 
-    def _backward(weights, rayin, z, deltam, gacc):
+    _raw_forward = _forward   # pre-shard_map binding (closures are late-bound)
+
+    def _forward_save(weights, rayin, z, deltam):
+        return _raw_forward(weights, rayin, z, deltam, save=True)
+
+    def _backward(weights, rayin, z, deltam, gacc, acts=None):
         r, k = z.shape
+        saved = acts is not None
         kpad, (zcol, dp) = _prep(z, deltam)
         rt = _rt_of(kpad, bwd_tile_target, r)
         rp = _round_up(r, rt)
@@ -653,6 +746,9 @@ def make_fused_camera(compute_dtype=jnp.bfloat16, tile_target=2048,
         zcol = _pad_rows_to(zcol, rp * kpad)
         dp = _pad_rows_to(dp, rp)
         gacc_p = _pad_rows_to(gacc.astype(jnp.float32), rp)
+        extra = [_pad_rows_to(acts, rp * kpad)] if saved else []
+        extra_specs = ([_pt_spec(rt * kpad, N_TRUNK_ACTS_COLS)]
+                       if saved else [])
         flat_f32 = flatten_weights(weights)
         flat_f32p = _pad_pe_rows(flat_f32, with_transient=True)
         flat = cast_matrices(flat_f32p, compute_dtype)
@@ -663,17 +759,18 @@ def make_fused_camera(compute_dtype=jnp.bfloat16, tile_target=2048,
                      + [_const_spec(wt.shape) for wt in flat])
         outs = pl.pallas_call(
             functools.partial(_camera_bwd_kernel, compute_dtype, trunk_quant,
-                              rt, kpad),
+                              rt, kpad, saved),
             out_shape=tuple(out_shapes),
             grid=(rp // rt,),
             in_specs=[_ray_spec(rt, RAYIN_COLS), _pt_spec(rt * kpad, 8),
                       _ray_spec(rt, kpad), _ray_spec(rt, ACC_COLS)]
+                     + extra_specs
                      + [_const_spec(wt.shape) for wt in flat]
                      + [_const_spec(q.shape) for q in qargs],
             out_specs=tuple(out_specs),
             compiler_params=_cparams(vmem_limit_mb),
             interpret=interpret,
-        )(rayin_p, zcol, dp, gacc_p, *flat, *qargs)
+        )(rayin_p, zcol, dp, gacc_p, *extra, *flat, *qargs)
         d_rayin = outs[0][:r]
         from eonerf_code_tpu.ops.pallas.fused_field import _unpad_pe_rows
 
@@ -684,22 +781,50 @@ def make_fused_camera(compute_dtype=jnp.bfloat16, tile_target=2048,
                                            flat_f32)])
         return d_weights, d_rayin
 
+    def _backward_saved(weights, rayin, z, deltam, gacc, acts):
+        return _backward(weights, rayin, z, deltam, gacc, acts=acts)
+
+    def _backward_rec(weights, rayin, z, deltam, gacc):
+        return _backward(weights, rayin, z, deltam, gacc)
+
     if mesh is not None:
         from eonerf_code_tpu.ops.pallas.fused_field import _shard_bwd, _shard_fwd
 
+        _forward_save = _shard_fwd(_forward_save, mesh, data_axis, n_out=2)
+        _backward_saved = _shard_bwd(
+            lambda w_, rayin, z, deltam, gacc, acts:
+                _backward(w_, rayin, z, deltam, gacc, acts=acts),
+            mesh, data_axis, n_pt_grads=1)
         _forward = _shard_fwd(_forward, mesh, data_axis)
-        _backward = _shard_bwd(_backward, mesh, data_axis, n_pt_grads=1)
+        _backward_rec = _shard_bwd(_backward_rec, mesh, data_axis,
+                                   n_pt_grads=1)
+
+    def _use_saved(z_shape):
+        if not save_acts:
+            return False
+        r, k = z_shape
+        return (_saved_bytes(r, _kpad_of(k), compute_dtype)
+                <= save_acts_cap_mb * 2**20)
 
     @jax.custom_vjp
     def camera(weights, rayin, z, deltam):
         return _forward(weights, rayin, z, deltam)
 
     def fwd(weights, rayin, z, deltam):
+        if _use_saved(z.shape):
+            acc, acts = _forward_save(weights, rayin, z, deltam)
+            return acc, (weights, rayin, z, deltam, acts)
         return camera(weights, rayin, z, deltam), (weights, rayin, z, deltam)
 
     def bwd(res, gacc):
-        weights, rayin, z, deltam = res
-        d_weights, d_rayin = _backward(weights, rayin, z, deltam, gacc)
+        if len(res) == 5:
+            weights, rayin, z, deltam, acts = res
+            d_weights, d_rayin = _backward_saved(weights, rayin, z, deltam,
+                                                 gacc, acts)
+        else:
+            weights, rayin, z, deltam = res
+            d_weights, d_rayin = _backward_rec(weights, rayin, z, deltam,
+                                               gacc)
         return d_weights, d_rayin, jnp.zeros_like(z), jnp.zeros_like(deltam)
 
     camera.defvjp(fwd, bwd)
@@ -709,13 +834,18 @@ def make_fused_camera(compute_dtype=jnp.bfloat16, tile_target=2048,
 def make_fused_shadow(compute_dtype=jnp.bfloat16, tile_target=2048,
                       bwd_tile_target=1024, interpret=False,
                       vmem_limit_mb=64, mesh=None, data_axis="data",
-                      trunk_quant=False):
+                      trunk_quant=False, save_acts=False,
+                      save_acts_cap_mb=6144):
     """Returns shadow(weights: FieldWeights, rayin (R,16), z (R,K),
     deltam (R,K), mask (R,K)) -> geo (R,) sun visibility, fused fwd+bwd.
     rayin rows 0:3 carry the shadow-march origin (gradients flow to it —
-    the depth-gradient path), rows 3:6 the march direction."""
+    the depth-gradient path), rows 3:6 the march direction. ``save_acts``
+    as in make_fused_camera (the stream here is the density trunk's)."""
+    if save_acts and trunk_quant:
+        raise ValueError("save_acts is bf16/f32-only (int8 was measured "
+                         "slower; don't combine)")
 
-    def _forward(weights, rayin, z, deltam, mask):
+    def _forward(weights, rayin, z, deltam, mask, save=False):
         r, k = z.shape
         kpad, (zcol, dp, mp) = _prep(z, deltam, mask)
         rt = _rt_of(kpad, tile_target, r)
@@ -727,23 +857,37 @@ def make_fused_shadow(compute_dtype=jnp.bfloat16, tile_target=2048,
         flat_f32p = _pad_pe_rows(density_subset(weights))
         flat = cast_matrices(flat_f32p, compute_dtype)
         qargs = quantize_trunk_int8(flat_f32p) if trunk_quant else []
-        out = pl.pallas_call(
+        out_shape = [jax.ShapeDtypeStruct((rp, ACC_COLS), jnp.float32)]
+        out_specs = [_ray_spec(rt, ACC_COLS)]
+        if save:
+            out_shape.append(jax.ShapeDtypeStruct(
+                (rp * kpad, N_TRUNK_ACTS_COLS), compute_dtype))
+            out_specs.append(_pt_spec(rt * kpad, N_TRUNK_ACTS_COLS))
+        outs = pl.pallas_call(
             functools.partial(_shadow_fwd_kernel, compute_dtype, trunk_quant,
-                              rt, kpad),
-            out_shape=jax.ShapeDtypeStruct((rp, ACC_COLS), jnp.float32),
+                              rt, kpad, save),
+            out_shape=tuple(out_shape) if save else out_shape[0],
             grid=(rp // rt,),
             in_specs=[_ray_spec(rt, RAYIN_COLS), _pt_spec(rt * kpad, 8),
                       _ray_spec(rt, kpad), _ray_spec(rt, kpad)]
                      + [_const_spec(wt.shape) for wt in flat]
                      + [_const_spec(q.shape) for q in qargs],
-            out_specs=_ray_spec(rt, ACC_COLS),
+            out_specs=tuple(out_specs) if save else out_specs[0],
             compiler_params=_cparams(vmem_limit_mb),
             interpret=interpret,
         )(rayin_p, zcol, dp, mp, *flat, *qargs)
-        return out[:r, 0]
+        if save:
+            return outs[0][:r, 0], outs[1][:r * kpad]
+        return outs[:r, 0]
 
-    def _backward(weights, rayin, z, deltam, mask, ggeo):
+    _raw_forward = _forward   # pre-shard_map binding (closures are late-bound)
+
+    def _forward_save(weights, rayin, z, deltam, mask):
+        return _raw_forward(weights, rayin, z, deltam, mask, save=True)
+
+    def _backward(weights, rayin, z, deltam, mask, ggeo, acts=None):
         r, k = z.shape
+        saved = acts is not None
         kpad, (zcol, dp, mp) = _prep(z, deltam, mask)
         rt = _rt_of(kpad, bwd_tile_target, r)
         rp = _round_up(r, rt)
@@ -754,6 +898,9 @@ def make_fused_shadow(compute_dtype=jnp.bfloat16, tile_target=2048,
         ggeo_p = _pad_rows_to(
             jnp.pad(ggeo.astype(jnp.float32).reshape(-1, 1),
                     ((0, 0), (0, ACC_COLS - 1))), rp)
+        extra = [_pad_rows_to(acts, rp * kpad)] if saved else []
+        extra_specs = ([_pt_spec(rt * kpad, N_TRUNK_ACTS_COLS)]
+                       if saved else [])
         flat_f32 = density_subset(weights)
         flat_f32p = _pad_pe_rows(flat_f32)
         flat = cast_matrices(flat_f32p, compute_dtype)
@@ -764,18 +911,19 @@ def make_fused_shadow(compute_dtype=jnp.bfloat16, tile_target=2048,
                      + [_const_spec(wt.shape) for wt in flat])
         outs = pl.pallas_call(
             functools.partial(_shadow_bwd_kernel, compute_dtype, trunk_quant,
-                              rt, kpad),
+                              rt, kpad, saved),
             out_shape=tuple(out_shapes),
             grid=(rp // rt,),
             in_specs=[_ray_spec(rt, RAYIN_COLS), _pt_spec(rt * kpad, 8),
                       _ray_spec(rt, kpad), _ray_spec(rt, kpad),
                       _ray_spec(rt, ACC_COLS)]
+                     + extra_specs
                      + [_const_spec(wt.shape) for wt in flat]
                      + [_const_spec(q.shape) for q in qargs],
             out_specs=tuple(out_specs),
             compiler_params=_cparams(vmem_limit_mb),
             interpret=interpret,
-        )(rayin_p, zcol, dp, mp, ggeo_p, *flat, *qargs)
+        )(rayin_p, zcol, dp, mp, ggeo_p, *extra, *flat, *qargs)
         d_rayin = outs[0][:r]
         from eonerf_code_tpu.ops.pallas.fused_field import _unpad_pe_rows
 
@@ -795,23 +943,51 @@ def make_fused_shadow(compute_dtype=jnp.bfloat16, tile_target=2048,
             tb_w=z_(weights.tb_w), tb_b=z_(weights.tb_b))
         return dw, d_rayin
 
+    def _backward_saved(weights, rayin, z, deltam, mask, ggeo, acts):
+        return _backward(weights, rayin, z, deltam, mask, ggeo, acts=acts)
+
+    def _backward_rec(weights, rayin, z, deltam, mask, ggeo):
+        return _backward(weights, rayin, z, deltam, mask, ggeo)
+
     if mesh is not None:
         from eonerf_code_tpu.ops.pallas.fused_field import _shard_bwd, _shard_fwd
 
+        _forward_save = _shard_fwd(_forward_save, mesh, data_axis, n_out=2)
+        _backward_saved = _shard_bwd(
+            lambda w_, rayin, z, deltam, mask, ggeo, acts:
+                _backward(w_, rayin, z, deltam, mask, ggeo, acts=acts),
+            mesh, data_axis, n_pt_grads=1)
         _forward = _shard_fwd(_forward, mesh, data_axis)
-        _backward = _shard_bwd(_backward, mesh, data_axis, n_pt_grads=1)
+        _backward_rec = _shard_bwd(_backward_rec, mesh, data_axis,
+                                   n_pt_grads=1)
+
+    def _use_saved(z_shape):
+        if not save_acts:
+            return False
+        r, k = z_shape
+        return (_saved_bytes(r, _kpad_of(k), compute_dtype)
+                <= save_acts_cap_mb * 2**20)
 
     @jax.custom_vjp
     def shadow(weights, rayin, z, deltam, mask):
         return _forward(weights, rayin, z, deltam, mask)
 
     def fwd(weights, rayin, z, deltam, mask):
+        if _use_saved(z.shape):
+            geo, acts = _forward_save(weights, rayin, z, deltam, mask)
+            return geo, (weights, rayin, z, deltam, mask, acts)
         return shadow(weights, rayin, z, deltam, mask), (weights, rayin, z,
                                                          deltam, mask)
 
     def bwd(res, ggeo):
-        weights, rayin, z, deltam, mask = res
-        d_weights, d_rayin = _backward(weights, rayin, z, deltam, mask, ggeo)
+        if len(res) == 6:
+            weights, rayin, z, deltam, mask, acts = res
+            d_weights, d_rayin = _backward_saved(weights, rayin, z, deltam,
+                                                 mask, ggeo, acts)
+        else:
+            weights, rayin, z, deltam, mask = res
+            d_weights, d_rayin = _backward_rec(weights, rayin, z, deltam,
+                                               mask, ggeo)
         return (d_weights, d_rayin, jnp.zeros_like(z),
                 jnp.zeros_like(deltam), jnp.zeros_like(mask))
 

@@ -185,6 +185,94 @@ class TestShadowOp:
         assert float(jnp.abs(gw.bott_w).max()) == 0.0
 
 
+class TestSavedActs:
+    """save_acts=True streams the trunk activations from forward to
+    backward instead of recomputing them — same math, different data path,
+    so gradients must match the recompute kernels near-exactly (f32: the
+    saved activations ARE the recomputed ones)."""
+
+    def _grads(self, setup, **kw):
+        field, params, (o, d, z, delta, mask, idx) = setup
+        cam = make_fused_camera(jnp.float32, interpret=True, **kw)
+        emb = params["params"]["transient_encoder"]["embedding"][idx]
+        deltam = set_last_valid(delta, mask, 1e10) * mask
+        coef = jnp.asarray(np.random.default_rng(2).normal(
+            size=(o.shape[0], 7)).astype(np.float32))
+
+        def loss(w, o_, emb_):
+            acc = cam(w, _rayin(o_, d, emb_), z, deltam)
+            return jnp.sum(acc[:, :7] * coef)
+
+        return jax.grad(loss, argnums=(0, 1, 2))(pack_params(params), o, emb)
+
+    def test_camera_grads_match_recompute(self, setup):
+        gw_r, go_r, ge_r = self._grads(setup)
+        gw_s, go_s, ge_s = self._grads(setup, save_acts=True)
+        for a, b in zip(jax.tree_util.tree_leaves(gw_r),
+                        jax.tree_util.tree_leaves(gw_s)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(go_s), np.asarray(go_r),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(ge_s), np.asarray(ge_r),
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_camera_cap_falls_back(self, setup):
+        """A cap below the stream size silently uses the recompute path —
+        same gradients, no failure."""
+        gw_r, go_r, _ = self._grads(setup)
+        gw_c, go_c, _ = self._grads(setup, save_acts=True, save_acts_cap_mb=0)
+        np.testing.assert_allclose(np.asarray(go_c), np.asarray(go_r),
+                                   rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(gw_c.trunk_w[0]),
+                                   np.asarray(gw_r.trunk_w[0]),
+                                   rtol=0, atol=0)
+
+    def test_shadow_grads_match_recompute(self, setup):
+        field, params, (o, d, z, delta, mask, idx) = setup
+        deltam = delta * mask
+        coef = jnp.asarray(np.random.default_rng(3).normal(
+            size=(o.shape[0],)).astype(np.float32))
+
+        def grads(**kw):
+            sh = make_fused_shadow(jnp.float32, interpret=True, **kw)
+
+            def loss(w, o_):
+                geo = sh(w, _rayin(o_, d, jnp.zeros((o.shape[0], 4))), z,
+                         deltam, mask.astype(jnp.float32))
+                return jnp.sum(geo * coef)
+
+            return jax.grad(loss, argnums=(0, 1))(pack_params(params), o)
+
+        gw_r, go_r = grads()
+        gw_s, go_s = grads(save_acts=True)
+        np.testing.assert_allclose(np.asarray(go_s), np.asarray(go_r),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(gw_s.trunk_w[0]),
+                                   np.asarray(gw_r.trunk_w[0]),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(gw_s.sigma_w),
+                                   np.asarray(gw_r.sigma_w),
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_quant_combination_rejected(self):
+        with pytest.raises(ValueError):
+            make_fused_camera(jnp.float32, interpret=True, save_acts=True,
+                              trunk_quant=True)
+
+    def test_primal_without_grad_matches(self, setup):
+        """The undifferentiated op never saves; forward values match the
+        recompute op exactly."""
+        field, params, (o, d, z, delta, mask, idx) = setup
+        rayin, z_, deltam = _camera_inputs(params, o, d, z, delta, mask, idx)
+        w = pack_params(params)
+        cam_r = make_fused_camera(jnp.float32, interpret=True)
+        cam_s = make_fused_camera(jnp.float32, interpret=True, save_acts=True)
+        np.testing.assert_allclose(np.asarray(cam_s(w, rayin, z_, deltam)),
+                                   np.asarray(cam_r(w, rayin, z_, deltam)),
+                                   rtol=0, atol=0)
+
+
 class TestCoarseOp:
     def test_forward_parity(self, setup):
         """Fused coarse weights == render_weights over the same sigma field

@@ -89,6 +89,35 @@ def test_camera_matches_unsharded(mesh, setup, tier):
     _assert_leaves_equal(vjp_sh(gacc), vjp(gacc))
 
 
+def test_camera_saved_acts_matches_unsharded(mesh, setup):
+    """The saved-activations backward through shard_map: the activation
+    stream is an extra per-point output (fwd) / input (bwd), sharded on
+    rays like everything else."""
+    w, (rayin, z, delta, mask, gacc, _) = setup
+    deltam = set_last_valid(delta, mask, 1e10) * mask
+    kw = dict(compute_dtype=jnp.float32, tile_target=64, bwd_tile_target=64,
+              interpret=True, save_acts=True)
+    cam = make_fused_camera(**kw)
+    cam_sh = make_fused_camera(mesh=mesh, **kw)
+    _, vjp = jax.vjp(lambda w_, r_: cam(w_, r_, z, deltam), w, rayin)
+    _, vjp_sh = jax.vjp(lambda w_, r_: cam_sh(w_, r_, z, deltam), w, rayin)
+    _assert_leaves_equal(vjp_sh(gacc), vjp(gacc))
+
+
+def test_shadow_saved_acts_matches_unsharded(mesh, setup):
+    w, (rayin, z, delta, mask, _, ggeo) = setup
+    deltam = delta * mask
+    maskf = mask.astype(jnp.float32)
+    kw = dict(compute_dtype=jnp.float32, tile_target=64, bwd_tile_target=64,
+              interpret=True, save_acts=True)
+    sh = make_fused_shadow(**kw)
+    sh_sh = make_fused_shadow(mesh=mesh, **kw)
+    _, vjp = jax.vjp(lambda w_, r_: sh(w_, r_, z, deltam, maskf), w, rayin)
+    _, vjp_sh = jax.vjp(lambda w_, r_: sh_sh(w_, r_, z, deltam, maskf),
+                        w, rayin)
+    _assert_leaves_equal(vjp_sh(jnp.asarray(ggeo)), vjp(jnp.asarray(ggeo)))
+
+
 def test_coarse_matches_unsharded(mesh, setup):
     """The forward-only coarse-weights op through shard_map."""
     w, (rayin, z, delta, mask, _, _) = setup
