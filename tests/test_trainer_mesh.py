@@ -64,6 +64,30 @@ def test_weak_scaling_loss_trajectory(scene, tmp_path):
         np.testing.assert_allclose(mesh8[s], single[s], rtol=2e-3, atol=1e-5)
 
 
+def test_trainer_mesh_pallas_saved_acts(scene, tmp_path):
+    """The production multi-chip composition with the saved-activations
+    backward: Trainer megastep jitted over the 8-device mesh with the
+    shard_map'ed Pallas kernels (interpret) and bwd_acts='saved' — the
+    activation stream is one more per-point operand through shard_map, and
+    this asserts the full composition (sampling glue + custom_vjp residuals
+    + scan) executes, not just the kernel-level parity test."""
+    from eonerf_code_tpu.models.fused import PallasField
+
+    mesh = make_mesh(n_data=8)
+    cfg = TrainConfig(root_dir=scene["root_dir"], img_dir=scene["img_dir"],
+                      logs_dir=str(tmp_path), exp_name="mesh_saved",
+                      batch_size=64, max_train_steps=2, n_samples=9,
+                      net_depth=8, net_width=256, occ_enabled=False,
+                      val_freq=10**9, steps_per_call=2, first_shadow_step=1,
+                      use_pallas=True, bwd_acts="saved")
+    tr = Trainer(cfg, mesh=mesh)
+    assert isinstance(tr.render_field, PallasField)
+    stats = tr.run()
+    assert stats["steps"] == 2
+    leaves = jax.tree_util.tree_leaves(tr.params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+
 def test_data_axis_flag_builds_mesh(scene, tmp_path):
     """The user surface: `--data_axis 8` alone (no programmatic mesh) must
     shard the run over 8 devices — cfg flag -> CLI parse -> Trainer builds
