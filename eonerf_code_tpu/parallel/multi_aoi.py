@@ -49,18 +49,41 @@ class MultiAOITrainer:
 
     def __init__(self, datasets, mesh, cfg=None, n_samples=64, batch_size=1024,
                  lr=5e-4, net_depth=8, net_width=256, seed=42,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, use_pallas=False,
+                 bwd_acts="recompute", interpret=None, perturb=True):
         self.mesh = mesh
         self.n_scenes = len(datasets)
         assert mesh.shape["scene"] == self.n_scenes or mesh.shape["scene"] == 1 or \
             self.n_scenes % mesh.shape["scene"] == 0, \
             "scene count must tile the scene mesh axis"
         self.batch_size = batch_size
-        self.rcfg = RenderConfig(n_samples=n_samples, sc_n_samples=n_samples)
+        # NB: on the pallas path the stratified jitter is drawn per DATA
+        # shard (same per-scene key, local batch shape) — statistically
+        # equivalent to the XLA path's global draw, but not bit-matching;
+        # perturb=False makes both paths deterministic (midpoint samples)
+        self.rcfg = RenderConfig(n_samples=n_samples, sc_n_samples=n_samples,
+                                 perturb=perturb)
 
         n_images = max(len(d.json_files) for d in datasets)
         self.field = EONerfField(n_images=n_images, net_depth=net_depth,
                                  net_width=net_width, compute_dtype=compute_dtype)
+        # production kernels: an opaque (vmapped) pallas call cannot be
+        # GSPMD-partitioned over the scene axis, so the pallas variant runs
+        # the step inside shard_map (see multi_step below) with PLAIN
+        # kernels per shard — scenes vmapped locally, data-axis grads
+        # pmean'd explicitly
+        self.use_pallas = use_pallas
+        self.render_field = self.field
+        if use_pallas:
+            assert net_depth == 8 and net_width == 256, \
+                "fused kernels implement the reference 8x256 architecture"
+            from eonerf_code_tpu.models.fused import PallasField
+
+            if interpret is None:
+                interpret = jax.default_backend() == "cpu"
+            self.render_field = PallasField(
+                self.field, interpret=interpret,
+                save_acts=(bwd_acts == "saved"))
         key = jax.random.PRNGKey(seed)
         params_list = [
             self.field.init(jax.random.fold_in(key, i), jnp.zeros((2, 3, 3)),
@@ -100,27 +123,76 @@ class MultiAOITrainer:
         self.data = {k: jax.device_put(v, NamedSharding(mesh, P("scene", "data")))
                      for k, v in self.data.items()}
 
-        field, rcfg, optimizer = self.field, self.rcfg, self.optimizer
+        field, rcfg, optimizer = self.render_field, self.rcfg, self.optimizer
+
+        def scene_loss(params, batch, key, shadows):
+            rays = satrays_from_tensor(batch["rays"], batch["ts"])
+            out = render_rays(field, params, rays, key, rcfg, shadows)
+            loss, _ = M.uncertainty_aware_loss(batch["rgbs"], out["rgb"],
+                                               out["beta"])
+            return loss
 
         def scene_step(params, opt_state, batch, key, shadows):
-            def loss_fn(p):
-                rays = satrays_from_tensor(batch["rays"], batch["ts"])
-                out = render_rays(field, p, rays, key, rcfg, shadows)
-                loss, _ = M.uncertainty_aware_loss(batch["rgbs"], out["rgb"], out["beta"])
-                return loss
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            loss, grads = jax.value_and_grad(scene_loss)(params, batch, key,
+                                                         shadows)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
-        @functools.partial(jax.jit, static_argnames=("shadows",),
-                           donate_argnums=(0, 1))
-        def multi_step(params, opt_state, data, idx, keys, shadows):
-            batch = {k: jnp.take_along_axis(
+        def _gather_batch(data, idx):
+            return {k: jnp.take_along_axis(
                 v, idx.reshape(self.n_scenes, -1, *([1] * (v.ndim - 2))), axis=1)
                 for k, v in data.items()}
-            return jax.vmap(scene_step, in_axes=(0, 0, 0, 0, None))(
-                params, opt_state, batch, keys, shadows)
+
+        if not use_pallas:
+            @functools.partial(jax.jit, static_argnames=("shadows",),
+                               donate_argnums=(0, 1))
+            def multi_step(params, opt_state, data, idx, keys, shadows):
+                batch = _gather_batch(data, idx)
+                return jax.vmap(scene_step, in_axes=(0, 0, 0, 0, None))(
+                    params, opt_state, batch, keys, shadows)
+        else:
+            def dp_scene_step(params, opt_state, batch, key, shadows):
+                # standard DP inside the shard: grads over the local ray
+                # chunk, pmean over "data", identical adam update on every
+                # data shard (opt state replicated along data)
+                loss, grads = jax.value_and_grad(scene_loss)(params, batch,
+                                                             key, shadows)
+                grads = jax.tree_util.tree_map(
+                    lambda g: jax.lax.pmean(g, "data"), grads)
+                loss = jax.lax.pmean(loss, "data")
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), opt_state, loss
+
+            def shard_body(params, opt_state, batch, keys, shadows):
+                return jax.vmap(dp_scene_step, in_axes=(0, 0, 0, 0, None))(
+                    params, opt_state, batch, keys, shadows)
+
+            sharded = jax.shard_map(
+                functools.partial(shard_body, shadows=False),
+                mesh=mesh,
+                in_specs=(P("scene"), P("scene"), P("scene", "data"),
+                          P("scene")),
+                out_specs=(P("scene"), P("scene"), P("scene")),
+                check_vma=False)
+            sharded_sh = jax.shard_map(
+                functools.partial(shard_body, shadows=True),
+                mesh=mesh,
+                in_specs=(P("scene"), P("scene"), P("scene", "data"),
+                          P("scene")),
+                out_specs=(P("scene"), P("scene"), P("scene")),
+                check_vma=False)
+
+            @functools.partial(jax.jit, static_argnames=("shadows",),
+                               donate_argnums=(0, 1))
+            def multi_step(params, opt_state, data, idx, keys, shadows):
+                # the pool gather stays OUTSIDE shard_map: idx addresses the
+                # whole per-scene pool, and GSPMD reshards the gathered
+                # (S, B, ...) batch onto ("scene", "data") — a few hundred
+                # KB of resharding per step vs keeping the exact uniform-
+                # over-pool sampling semantics of the XLA path
+                batch = _gather_batch(data, idx)
+                step = sharded_sh if shadows else sharded
+                return step(params, opt_state, batch, keys)
 
         self._multi_step = multi_step
         self._key = jax.random.fold_in(key, 10_000)

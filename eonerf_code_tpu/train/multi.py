@@ -19,10 +19,12 @@ CLI consumes every scene directly:
     python eval_eonerf.py pod0/<aoi_id> --logs_dir logs --dsm
 
 Scope notes (documented, not hidden): this path trains with uniform
-sampling (no occupancy grid) and the raw XLA field; the per-scene
-opts.json records exactly that (occ_enabled=False, use_pallas=False), so
-eval renders through the same backend and sampler the run trained with —
-the one-backend-per-run invariant holds here too.
+sampling (no occupancy grid). The fused Pallas kernels are available
+(`--use_pallas`, auto on for bf16+TPU+8x256) via the shard_map'ed step in
+`parallel/multi_aoi.py`; whichever backend trains is recorded in each
+scene's opts.json (occ_enabled=False, use_pallas=<as-trained>), so eval
+renders through the same backend and sampler the run trained with — the
+one-backend-per-run invariant holds here too.
 """
 
 import argparse
@@ -75,6 +77,13 @@ def parse_args(argv=None):
                         "(default: the single-AOI trainer's epoch-2 "
                         "equivalent; pass 0 to enable from the start)")
     p.add_argument("--log_every", type=int, default=100)
+    p.add_argument("--use_pallas", type=str, default="auto",
+                   choices=["auto", "true", "false"],
+                   help="fused Pallas kernels (shard_map'ed step; auto = on "
+                        "for bf16 on TPU with the 8x256 architecture)")
+    p.add_argument("--bwd_acts", type=str, default="recompute",
+                   choices=["recompute", "saved"],
+                   help="fused-kernel backward mode (see train_eonerf.py)")
     return p.parse_args(argv)
 
 
@@ -118,10 +127,17 @@ def main_multi_train(argv=None):
           f"{n_scenes} scenes", flush=True)
 
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    if args.use_pallas == "auto":
+        use_pallas = (args.compute_dtype == "bfloat16"
+                      and jax.default_backend() == "tpu"
+                      and args.fc_layers == 8 and args.fc_units == 256)
+    else:
+        use_pallas = args.use_pallas == "true"
     tr = MultiAOITrainer(datasets, mesh, n_samples=args.n_samples,
                          batch_size=args.batch_size, lr=args.lr,
                          net_depth=args.fc_layers, net_width=args.fc_units,
-                         seed=args.seed, compute_dtype=dtype)
+                         seed=args.seed, compute_dtype=dtype,
+                         use_pallas=use_pallas, bwd_acts=args.bwd_acts)
 
     # shadow gating: mirror the single-AOI trainer's epoch-2 rule
     # (reference sat_rendering.py:269-274) on the flat ray pool
@@ -164,7 +180,8 @@ def main_multi_train(argv=None):
             n_samples=args.n_samples, net_depth=args.fc_layers,
             net_width=args.fc_units, lr=args.lr, seed=args.seed,
             compute_dtype=args.compute_dtype,
-            occ_enabled=False, occ_tighten=False, use_pallas=False)
+            occ_enabled=False, occ_tighten=False, use_pallas=use_pallas,
+            bwd_acts=args.bwd_acts)
         run_dir = cfg.log_dir()
         cfg.save(os.path.join(run_dir, "opts.json"))
         save_checkpoint(run_dir, args.max_train_steps,

@@ -63,6 +63,49 @@ class TestMultiAOI:
         assert shard_shape[0] == 1  # one scene per scene-group
 
 
+class TestMultiAOIPallas:
+    """The pod production composition: shard_map over ("scene","data") with
+    per-shard vmapped scenes and PLAIN pallas kernels (an opaque vmapped
+    pallas call cannot be GSPMD-partitioned over the scene axis)."""
+
+    def test_pallas_trajectory_matches_xla(self, two_scenes):
+        mesh = make_mesh(n_data=4, n_scene=2)
+        # perturb=False: deterministic midpoint sampling, because the
+        # pallas path draws stratified jitter per data shard (local batch
+        # shape) while the XLA path draws it globally — statistically
+        # equivalent, not bit-matching
+        kw = dict(n_samples=8, batch_size=32, net_depth=8, net_width=256,
+                  seed=5, perturb=False)
+        tr_x = MultiAOITrainer(two_scenes, mesh, **kw)
+        tr_p = MultiAOITrainer(two_scenes, mesh, use_pallas=True, **kw)
+        from eonerf_code_tpu.models.fused import PallasField
+
+        assert isinstance(tr_p.render_field, PallasField)
+        # step 1: losses computed from IDENTICAL initial params — only
+        # kernel-vs-flax fp ordering differs (same init, same keys, and
+        # pmean == the mean GSPMD inserts on the XLA path)
+        lx = np.asarray(tr_x.train_steps(1, shadows=True))
+        lp = np.asarray(tr_p.train_steps(1, shadows=True))
+        np.testing.assert_allclose(lp, lx, rtol=1e-4, atol=1e-6)
+        # step 2: adam's eps-normalized updates amplify eps-level grad
+        # differences, so the trajectory tolerance is looser
+        lx = np.asarray(tr_x.train_steps(1, shadows=True))
+        lp = np.asarray(tr_p.train_steps(1, shadows=True))
+        np.testing.assert_allclose(lp, lx, rtol=5e-3, atol=1e-5)
+        a = np.asarray(tr_p.scene_params(0)["params"]["trunk"]["hidden_0"]["kernel"])
+        b = np.asarray(tr_x.scene_params(0)["params"]["trunk"]["hidden_0"]["kernel"])
+        rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+        assert rel < 5e-3, f"param divergence {rel}"
+
+    def test_pallas_saved_acts_runs(self, two_scenes):
+        mesh = make_mesh(n_data=4, n_scene=2)
+        tr = MultiAOITrainer(two_scenes, mesh, n_samples=8, batch_size=32,
+                             net_depth=8, net_width=256, use_pallas=True,
+                             bwd_acts="saved")
+        losses = tr.train_steps(1, shadows=True)
+        assert np.all(np.isfinite(np.asarray(losses)))
+
+
 class TestUnequalScenes:
     @pytest.fixture(scope="class")
     def unequal_scenes(self, tmp_path_factory):
