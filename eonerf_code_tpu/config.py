@@ -72,6 +72,14 @@ class TrainConfig:
     geometric_shadows: bool = True       # shadow pass from first_shadow_epoch on
     radiometric_normalization: bool = True
     rpc_correction: bool = False         # learnable per-image row/col offsets
+    freq_reg_end_step: int = 0           # >0: BARF-style coarse-to-fine PE
+                                         # annealing, full bandwidth at this
+                                         # step (models/freq_reg.py). The
+                                         # standard companion of
+                                         # rpc_correction: keeps the
+                                         # photometric basin wide while the
+                                         # per-image offsets converge. 0 = off.
+    freq_reg_start_step: int = 0         # annealing ramp start
     first_shadow_epoch: int = 2          # epoch gate (sat_rendering.py:269)
     first_beta_epoch: int = 2            # MSE before, beta loss after
     first_shadow_step: Optional[int] = None  # step-based overrides of the

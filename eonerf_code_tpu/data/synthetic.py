@@ -47,6 +47,11 @@ class SyntheticSceneSpec:
     dsm_resolution: float = 2.0
     ambient_color: tuple = (0.25, 0.35, 0.55)  # sky light
     radiometric_jitter: float = 0.0  # std of per-view A/b perturbation
+    rpc_bias_px: float = 0.0     # max |row/col| bias injected into each
+                                 # TRAIN view's published RPC (the image is
+                                 # rendered with the true camera) — simulates
+                                 # real-world RPC miscalibration, the
+                                 # condition bundle adjustment corrects
     seed: int = 0
 
 
@@ -266,6 +271,15 @@ def generate_scene(out_dir, spec: SyntheticSceneSpec = None, aoi_id="SYN_068"):
     names = []
     from eonerf_code_tpu.data.satellite import cast_rays
 
+    # RPC miscalibration: rendered through the TRUE camera, published with a
+    # biased RPC (row/col offsets shifted) — vendor RPCs are typically off
+    # by a few pixels and EO-NeRF's bundle adjustment learns the per-image
+    # correction. Separate rng stream so bias=0 scenes stay bit-identical
+    # and enabling bias leaves the radiometric jitter draws unchanged.
+    # Test views keep clean RPCs so held-out PSNR stays meaningful.
+    bias_rng = np.random.default_rng(spec.seed + 777)
+    rpc_biases = {}
+
     for i in range(n_total):
         proj_fn, _v = _orthographic_projection(scene, view_az[i], view_el[i], gsd, spec.img_size)
         rpc_dict = fit_rpc(proj_fn, spec.lon0, spec.lat0, lon_scale, lat_scale,
@@ -292,6 +306,12 @@ def generate_scene(out_dir, spec: SyntheticSceneSpec = None, aoi_id="SYN_068"):
 
         name = f"{aoi_id}_{i:03d}"
         names.append(name)
+        published_rpc = dict(rpc_dict)
+        if spec.rpc_bias_px > 0 and i < spec.n_views:
+            dc, dr = bias_rng.uniform(-spec.rpc_bias_px, spec.rpc_bias_px, 2)
+            published_rpc["col_offset"] = rpc_dict["col_offset"] + dc
+            published_rpc["row_offset"] = rpc_dict["row_offset"] + dr
+            rpc_biases[name] = (float(dc), float(dr))
         write_geotiff(os.path.join(img_dir, name + ".tif"),
                       (rgb.transpose(2, 0, 1) * 255).astype(np.uint8),
                       crs=CRS.from_utm_zone(scene.zone, scene.south),
@@ -303,7 +323,7 @@ def generate_scene(out_dir, spec: SyntheticSceneSpec = None, aoi_id="SYN_068"):
             "sun_elevation": float(sun_el[i]), "sun_azimuth": float(sun_az[i]),
             "acquisition_date": f"202001{(i % 28) + 1:02d}120000",
             "min_alt": spec.min_alt, "max_alt": spec.max_alt,
-            "rpc": rpc_dict,
+            "rpc": published_rpc,
             "geojson": {"center": [spec.lon0, spec.lat0]},
         }, os.path.join(out_dir, name + ".json"))
 
@@ -331,4 +351,4 @@ def generate_scene(out_dir, spec: SyntheticSceneSpec = None, aoi_id="SYN_068"):
                np.array([xoff, yoff_bottom, size, res]))
 
     return {"root_dir": out_dir, "img_dir": img_dir, "gt_dir": gt_dir,
-            "aoi_id": aoi_id, "names": names}
+            "aoi_id": aoi_id, "names": names, "rpc_biases_px": rpc_biases}

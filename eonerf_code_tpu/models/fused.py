@@ -34,10 +34,13 @@ def make_render_field(field, cfg, mesh=None):
     import jax
 
     if cfg.use_pallas is None:
+        # rpc_correction composes: the learned per-image ray offsets enter
+        # the kernels through the origin columns of rayin, and their
+        # gradient returns through d_rayin[:, 0:3] (parity-tested in
+        # tests/test_fused_render.py::test_render_rays_fused_bundle_adjust_gradients)
         use_pallas = (cfg.compute_dtype == "bfloat16"
                       and jax.default_backend() == "tpu"
-                      and cfg.net_depth == 8 and cfg.net_width == 256
-                      and not cfg.rpc_correction)
+                      and cfg.net_depth == 8 and cfg.net_width == 256)
     else:
         use_pallas = cfg.use_pallas
     if not use_pallas:

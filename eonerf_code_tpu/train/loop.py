@@ -63,7 +63,14 @@ def make_loss_fn(field, rcfg: RenderConfig, has_depth=False, has_conf=False,
     """Per-batch loss with the reference's schedule semantics
     (train_eonerf.py:139-155)."""
 
-    def loss_fn(params, batch, key, w_depth, shadows, use_beta, occ_grid=None):
+    def loss_fn(params, batch, key, w_depth, shadows, use_beta, occ_grid=None,
+                pe_mask=None):
+        if pe_mask is not None:
+            # BARF-style coarse-to-fine: render through PE-masked trunk
+            # weights; gradients flow to the RAW params (models/freq_reg.py)
+            from eonerf_code_tpu.models.freq_reg import mask_trunk_pe
+
+            params = mask_trunk_pe(params, pe_mask)
         rays = satrays_from_tensor(batch["rays"], batch["ts"])
         out = render_rays(field, params, rays, key, rcfg, shadows,
                           occ_grid=occ_grid)
@@ -96,9 +103,9 @@ def make_train_step(field, optimizer, rcfg: RenderConfig, cfg: TrainConfig,
     loss_fn = make_loss_fn(field, rcfg, has_depth, has_conf, has_shadow)
 
     def step_fn(params, opt_state, batch, key, w_depth, shadows, use_beta,
-                occ_grid=None):
+                occ_grid=None, pe_mask=None):
         (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch, key, w_depth, shadows, use_beta, occ_grid)
+            params, batch, key, w_depth, shadows, use_beta, occ_grid, pe_mask)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss_dict
@@ -120,19 +127,24 @@ def make_megastep(field, optimizer, rcfg: RenderConfig, cfg: TrainConfig,
     loss_fn = make_loss_fn(field, rcfg, has_depth, has_conf, has_shadow)
 
     def mega_fn(params, opt_state, device_data, idx_block, keys, w_depth,
-                shadows, use_beta, occ_grid=None):
+                shadows, use_beta, occ_grid=None, pe_masks=None):
         def body(carry, xs):
             params, opt_state = carry
-            idx, key = xs
+            if pe_masks is None:
+                (idx, key), m = xs, None
+            else:
+                idx, key, m = xs
             batch = {k: v[idx] for k, v in device_data.items()}
             (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch, key, w_depth, shadows, use_beta, occ_grid)
+                params, batch, key, w_depth, shadows, use_beta, occ_grid, m)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss_dict
 
+        xs = ((idx_block, keys) if pe_masks is None
+              else (idx_block, keys, pe_masks))
         (params, opt_state), loss_dicts = jax.lax.scan(
-            body, (params, opt_state), (idx_block, keys))
+            body, (params, opt_state), xs)
         # surface the LAST step's scalars (cheap; full traces live in jsonl)
         last = jax.tree_util.tree_map(lambda x: x[-1], loss_dicts)
         return params, opt_state, last
@@ -409,6 +421,21 @@ class Trainer:
                 k = min(k, gate - step)
         return max(k, 1)
 
+    def _pe_mask_block(self, step0, k):
+        """(k, latent) coarse-to-fine PE masks for steps [step0, step0+k),
+        or None when frequency regularization is off (cfg.freq_reg_end_step
+        <= 0). Past the ramp the mask is all-ones — same graph, exact
+        full-bandwidth math."""
+        cfg = self.cfg
+        if cfg.freq_reg_end_step <= 0:
+            return None
+        from eonerf_code_tpu.models.encoders import barf_alpha, barf_freq_mask
+
+        deg = self.field.pos_enc_deg
+        alphas = barf_alpha(jnp.arange(step0, step0 + k),
+                            cfg.freq_reg_start_step, cfg.freq_reg_end_step, deg)
+        return jax.vmap(lambda a: barf_freq_mask(a, 3, 0, deg))(alphas)
+
     def _occ_grid_stable(self, window=5, tol=0.05, tol_drift=0.025):
         """True once the occupied fraction has stopped moving. A fixed
         step-count warmup is NOT sufficient: on wide-envelope (IARPA-like)
@@ -545,7 +572,7 @@ class Trainer:
                 self.params, self.opt_state, loss_dict = self.megastep(
                     self.params, self.opt_state, self.device_data, idx_block,
                     keys, jnp.float32(w_depth), shadows, use_beta,
-                    self._occ_for_sampling())
+                    self._occ_for_sampling(), self._pe_mask_block(self.step, k))
                 rays_done += k * cfg.batch_size
                 i += k
                 self.step += k
@@ -558,6 +585,15 @@ class Trainer:
                     self.logger.scalar("train/psnr", ld["psnr"], done_step)
                     self.logger.scalar("lr", float(self.lr_schedule(done_step)), done_step)
                     self.logger.scalar("epoch", self.epoch, done_step)
+                    if cfg.freq_reg_end_step > 0:
+                        from eonerf_code_tpu.models.encoders import barf_alpha
+
+                        self.logger.scalar(
+                            "train/pe_alpha",
+                            float(barf_alpha(done_step, cfg.freq_reg_start_step,
+                                             cfg.freq_reg_end_step,
+                                             self.field.pos_enc_deg)),
+                            done_step)
                     dt = time.time() - tic
                     if dt > 0 and done_step > 0:
                         self.logger.scalar("perf/rays_per_sec", rays_done / dt, done_step)

@@ -433,3 +433,68 @@ class TestRendererDispatch:
         fus = render_depth(pf, params, rays, key, cfg)
         np.testing.assert_allclose(np.asarray(fus), np.asarray(ref),
                                    rtol=3e-5, atol=2e-5)
+
+    def test_render_rays_fused_bundle_adjust_gradients(self):
+        """rpc_correction composes with the fused path: the learned
+        per-image ray offsets shift the fused render identically to the
+        per-sample path, and their gradient (which flows through the
+        kernels' d_origin output — fused_render.py rows 0:3 of d_rayin)
+        matches the XLA field's."""
+        from eonerf_code_tpu.data.rays import satrays_from_tensor
+        from eonerf_code_tpu.models.fused import PallasField
+        from eonerf_code_tpu.render.satellite import RenderConfig, render_rays
+        from eonerf_code_tpu.utils import metrics as M
+
+        rng = np.random.default_rng(21)
+        field = EONerfField(n_images=4, rpc_correction=True)
+        params = field.init(jax.random.PRNGKey(0), jnp.zeros((2, 3, 3)),
+                            jnp.zeros((2, 3)), jnp.zeros((2,), jnp.int32),
+                            method="init_all")
+        # non-zero offsets so the forward parity exercises the shift
+        emb = params["params"]["ray_correction_enc"]["embedding"]
+        params["params"]["ray_correction_enc"]["embedding"] = (
+            emb + jnp.asarray(rng.normal(0, 0.05, emb.shape), jnp.float32))
+        pf = PallasField(field, interpret=True, tile=512, bwd_tile=512)
+
+        n = 24
+        o = np.zeros((n, 3), np.float32)
+        o[:, 0] = rng.uniform(-0.8, 0.8, n)
+        o[:, 1] = rng.uniform(-0.8, 0.8, n)
+        o[:, 2] = 0.999
+        d = np.tile(np.array([0.05, 0.02, -1.0], np.float32), (n, 1))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        sun = np.tile(np.array([0.3, 0.2, -0.93], np.float32), (n, 1))
+        sun /= np.linalg.norm(sun, axis=1, keepdims=True)
+        rays_t = np.hstack([o, d, np.zeros((n, 1), np.float32),
+                            2.0 * np.ones((n, 1), np.float32), sun])
+        ts = rng.integers(0, 4, n).astype(np.int32)
+        rays = satrays_from_tensor(jnp.asarray(rays_t), jnp.asarray(ts))
+        rgbs = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+        cfg = RenderConfig(n_samples=16, sc_n_samples=16)
+        key = jax.random.PRNGKey(7)
+
+        out_ref = render_rays(field, params, rays, key, cfg, shadows=True)
+        out_fused = render_rays(pf, params, rays, key, cfg, shadows=True)
+        for k in ("rgb", "depth", "geo_shadows", "beta"):
+            np.testing.assert_allclose(
+                np.asarray(out_fused[k]), np.asarray(out_ref[k]),
+                rtol=3e-5, atol=2e-5, err_msg=k)
+
+        def loss(f):
+            def inner(p):
+                out = render_rays(f, p, rays, key, cfg, shadows=True)
+                l, _ = M.uncertainty_aware_loss(rgbs, out["rgb"], out["beta"])
+                return l
+            return inner
+
+        g_ref = jax.grad(loss(field))(params)
+        g_fus = jax.grad(loss(pf))(params)
+        gb_ref = np.asarray(g_ref["params"]["ray_correction_enc"]["embedding"])
+        gb_fus = np.asarray(g_fus["params"]["ray_correction_enc"]["embedding"])
+        assert np.abs(gb_ref).max() > 0, "BA gradient unexpectedly zero"
+        rel = np.linalg.norm(gb_fus - gb_ref) / (np.linalg.norm(gb_ref) + 1e-12)
+        # the d_origin path multiplies PE derivatives by frequencies up to
+        # 2^(L-1)*pi -- f32 accumulation noise is ~1e-3 relative (the
+        # kernel-level origin-grad tests above use the same tolerance); a
+        # missing gradient term would show as a >>1e-2 systematic deviation
+        assert rel < 2e-3, f"BA-offset gradient rel-L2 {rel}"
