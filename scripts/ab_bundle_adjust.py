@@ -47,20 +47,30 @@ ARMS = {
 }
 
 
-def run_arm(scenes, workdir, name, steps, spec):
+def run_arm(scenes, workdir, name, steps, spec, small=False):
     overrides = dict(ARMS[name])
     scene = scenes["biased" if overrides.pop("biased") else "clean"]
+    if small:  # CPU smoke: same code path, toy sizes
+        size = dict(batch_size=256, n_samples=16, net_depth=2, net_width=32,
+                    occ_enabled=False, chunk=1024, steps_per_call=10,
+                    compute_dtype="float32",
+                    lr_decay_steps=max(steps, 1),
+                    first_shadow_step=10**9, first_beta_step=10**9)
+        if overrides.get("freq_reg_end_step"):
+            overrides["freq_reg_end_step"] = max(steps // 2, 1)
+    else:
+        size = dict(batch_size=4096, n_samples=96, net_depth=8, net_width=256,
+                    occ_enabled=True, occ_tighten=True,
+                    occ_tighten_start_step=2000, chunk=8192, steps_per_call=50,
+                    compute_dtype="bfloat16",
+                    lr_decay_steps=3000, first_shadow_step=6000,
+                    first_beta_step=12000)
     cfg = TrainConfig(
         root_dir=scene["root_dir"], img_dir=scene["img_dir"], gt_dir=scene["gt_dir"],
         logs_dir=os.path.join(workdir, "logs"), exp_name=f"ba_{name}",
         aoi_id=scene["aoi_id"],
         cache_dir=os.path.join(workdir, f"cache_{os.path.basename(scene['root_dir'])}"),
-        batch_size=4096, max_train_steps=steps, n_samples=96,
-        net_depth=8, net_width=256,
-        occ_enabled=True, occ_tighten=True, occ_tighten_start_step=2000,
-        lr_decay_steps=3000, first_shadow_step=6000, first_beta_step=12000,
-        val_freq=10**9, chunk=8192, steps_per_call=50,
-        compute_dtype="bfloat16", **overrides)
+        max_train_steps=steps, val_freq=10**9, **size, **overrides)
     trainer = Trainer(cfg)
     t0 = time.time()
     stats = trainer.run(max_steps=steps, log_every=2000)
@@ -114,10 +124,17 @@ def report_learned_offsets(trainer, scene, spec):
 
 def main(workdir="/tmp/eonerf_ab_ba", steps="10000", bias_px="3.0", *arms):
     steps, bias_px = int(steps), float(bias_px)
-    arms = list(arms) or ["clean", "biased", "biased+ba"]
-    base = dict(n_views=10, n_test_views=2, img_size=320, extent=400.0,
-                n_buildings=9, box_size=60.0, box_height=24.0,
-                dsm_resolution=1.0, radiometric_jitter=0.08, seed=7)
+    arms = list(arms)
+    small = "--small" in arms
+    arms = [a for a in arms if a != "--small"]
+    arms = arms or ["clean", "biased", "biased+ba", "biased+ba-noanneal"]
+    if small:
+        base = dict(n_views=5, n_test_views=1, img_size=64, dsm_resolution=2.0,
+                    seed=3)
+    else:
+        base = dict(n_views=10, n_test_views=2, img_size=320, extent=400.0,
+                    n_buildings=9, box_size=60.0, box_height=24.0,
+                    dsm_resolution=1.0, radiometric_jitter=0.08, seed=7)
     spec_c = SyntheticSceneSpec(**base)
     spec_b = SyntheticSceneSpec(rpc_bias_px=bias_px, **base)
     scenes = {
@@ -126,7 +143,7 @@ def main(workdir="/tmp/eonerf_ab_ba", steps="10000", bias_px="3.0", *arms):
     }
     results = {}
     for name in arms:
-        results[name] = run_arm(scenes, workdir, name, steps, spec_b)
+        results[name] = run_arm(scenes, workdir, name, steps, spec_b, small=small)
     print("RESULTS", results, flush=True)
 
 
