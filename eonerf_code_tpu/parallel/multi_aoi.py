@@ -50,7 +50,8 @@ class MultiAOITrainer:
     def __init__(self, datasets, mesh, cfg=None, n_samples=64, batch_size=1024,
                  lr=5e-4, net_depth=8, net_width=256, seed=42,
                  compute_dtype=jnp.float32, use_pallas=False,
-                 bwd_acts="recompute", interpret=None, perturb=True):
+                 bwd_acts="recompute", interpret=None, perturb=True,
+                 freq_reg_start_step=0, freq_reg_end_step=0):
         self.mesh = mesh
         self.n_scenes = len(datasets)
         assert mesh.shape["scene"] == self.n_scenes or mesh.shape["scene"] == 1 or \
@@ -124,17 +125,23 @@ class MultiAOITrainer:
                      for k, v in self.data.items()}
 
         field, rcfg, optimizer = self.render_field, self.rcfg, self.optimizer
+        self._freq_reg = (freq_reg_start_step, freq_reg_end_step)
 
-        def scene_loss(params, batch, key, shadows):
+        def scene_loss(params, batch, key, pe_mask, shadows):
+            # coarse-to-fine PE annealing, shared across scenes; all-ones
+            # when freq_reg is off (bit-exact no-op, keeps one code path)
+            from eonerf_code_tpu.models.freq_reg import mask_trunk_pe
+
+            params = mask_trunk_pe(params, pe_mask)
             rays = satrays_from_tensor(batch["rays"], batch["ts"])
             out = render_rays(field, params, rays, key, rcfg, shadows)
             loss, _ = M.uncertainty_aware_loss(batch["rgbs"], out["rgb"],
                                                out["beta"])
             return loss
 
-        def scene_step(params, opt_state, batch, key, shadows):
+        def scene_step(params, opt_state, batch, key, pe_mask, shadows):
             loss, grads = jax.value_and_grad(scene_loss)(params, batch, key,
-                                                         shadows)
+                                                         pe_mask, shadows)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
@@ -146,45 +153,47 @@ class MultiAOITrainer:
         if not use_pallas:
             @functools.partial(jax.jit, static_argnames=("shadows",),
                                donate_argnums=(0, 1))
-            def multi_step(params, opt_state, data, idx, keys, shadows):
+            def multi_step(params, opt_state, data, idx, keys, pe_mask, shadows):
                 batch = _gather_batch(data, idx)
-                return jax.vmap(scene_step, in_axes=(0, 0, 0, 0, None))(
-                    params, opt_state, batch, keys, shadows)
+                return jax.vmap(scene_step, in_axes=(0, 0, 0, 0, None, None))(
+                    params, opt_state, batch, keys, pe_mask, shadows)
         else:
-            def dp_scene_step(params, opt_state, batch, key, shadows):
+            def dp_scene_step(params, opt_state, batch, key, pe_mask, shadows):
                 # standard DP inside the shard: grads over the local ray
                 # chunk, pmean over "data", identical adam update on every
                 # data shard (opt state replicated along data)
                 loss, grads = jax.value_and_grad(scene_loss)(params, batch,
-                                                             key, shadows)
+                                                             key, pe_mask,
+                                                             shadows)
                 grads = jax.tree_util.tree_map(
                     lambda g: jax.lax.pmean(g, "data"), grads)
                 loss = jax.lax.pmean(loss, "data")
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 return optax.apply_updates(params, updates), opt_state, loss
 
-            def shard_body(params, opt_state, batch, keys, shadows):
-                return jax.vmap(dp_scene_step, in_axes=(0, 0, 0, 0, None))(
-                    params, opt_state, batch, keys, shadows)
+            def shard_body(params, opt_state, batch, keys, pe_mask, shadows):
+                return jax.vmap(dp_scene_step,
+                                in_axes=(0, 0, 0, 0, None, None))(
+                    params, opt_state, batch, keys, pe_mask, shadows)
 
             sharded = jax.shard_map(
                 functools.partial(shard_body, shadows=False),
                 mesh=mesh,
                 in_specs=(P("scene"), P("scene"), P("scene", "data"),
-                          P("scene")),
+                          P("scene"), P()),
                 out_specs=(P("scene"), P("scene"), P("scene")),
                 check_vma=False)
             sharded_sh = jax.shard_map(
                 functools.partial(shard_body, shadows=True),
                 mesh=mesh,
                 in_specs=(P("scene"), P("scene"), P("scene", "data"),
-                          P("scene")),
+                          P("scene"), P()),
                 out_specs=(P("scene"), P("scene"), P("scene")),
                 check_vma=False)
 
             @functools.partial(jax.jit, static_argnames=("shadows",),
                                donate_argnums=(0, 1))
-            def multi_step(params, opt_state, data, idx, keys, shadows):
+            def multi_step(params, opt_state, data, idx, keys, pe_mask, shadows):
                 # the pool gather stays OUTSIDE shard_map: idx addresses the
                 # whole per-scene pool, and GSPMD reshards the gathered
                 # (S, B, ...) batch onto ("scene", "data") — a few hundred
@@ -192,11 +201,23 @@ class MultiAOITrainer:
                 # over-pool sampling semantics of the XLA path
                 batch = _gather_batch(data, idx)
                 step = sharded_sh if shadows else sharded
-                return step(params, opt_state, batch, keys)
+                return step(params, opt_state, batch, keys, pe_mask)
 
         self._multi_step = multi_step
         self._key = jax.random.fold_in(key, 10_000)
         self.step = 0
+
+    def _pe_mask(self, step):
+        """(latent,) coarse-to-fine mask for this step; all-ones when
+        freq_reg is off (bit-exact no-op in scene_loss)."""
+        from eonerf_code_tpu.models.encoders import (
+            barf_alpha, barf_freq_mask, sinusoidal_latent_dim)
+
+        deg = self.field.pos_enc_deg
+        start, end = self._freq_reg
+        if end <= 0:
+            return jnp.ones(sinusoidal_latent_dim(3, 0, deg), jnp.float32)
+        return barf_freq_mask(barf_alpha(step, start, end, deg), 3, 0, deg)
 
     def train_steps(self, n_steps, shadows=False):
         """Run n_steps scene-parallel steps; returns per-scene losses of the
@@ -213,7 +234,8 @@ class MultiAOITrainer:
                                      0, n_scene)
             keys = jax.random.split(k2, self.n_scenes)
             self.params, self.opt_state, losses = self._multi_step(
-                self.params, self.opt_state, self.data, idx, keys, shadows)
+                self.params, self.opt_state, self.data, idx, keys,
+                self._pe_mask(self.step), shadows)
             self.step += 1
         return losses
 

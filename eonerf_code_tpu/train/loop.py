@@ -22,6 +22,7 @@ embedding tables are tiny and stay replicated.
 """
 
 import os
+import sys
 import time
 
 import jax
@@ -190,6 +191,13 @@ class Trainer:
             utm=not cfg.ecef, cache_dir=cfg.cache_dir)
         self.n_rays = self.train_ds.all_rays.shape[0]
         self.n_images = len(self.train_ds.json_files)
+
+        if cfg.rpc_correction and cfg.freq_reg_end_step <= 0:
+            print("warning: --rpc_correction without --freq_reg_end_step — "
+                  "joint camera refinement usually needs coarse-to-fine PE "
+                  "annealing to converge (measured: offsets reach corr +0.99 "
+                  "vs injected bias with annealing, +0.13 without)",
+                  file=sys.stderr)
 
         # sampler selection happens BEFORE opts.json is written, so eval
         # reloads the RESOLVED sampling configuration, never re-guesses

@@ -84,6 +84,10 @@ def parse_args(argv=None):
     p.add_argument("--bwd_acts", type=str, default="recompute",
                    choices=["recompute", "saved"],
                    help="fused-kernel backward mode (see train_eonerf.py)")
+    p.add_argument("--freq_reg_end_step", type=int, default=0,
+                   help="BARF-style coarse-to-fine PE annealing ramp end "
+                        "(0 = off; see train_eonerf.py)")
+    p.add_argument("--freq_reg_start_step", type=int, default=0)
     return p.parse_args(argv)
 
 
@@ -137,7 +141,9 @@ def main_multi_train(argv=None):
                          batch_size=args.batch_size, lr=args.lr,
                          net_depth=args.fc_layers, net_width=args.fc_units,
                          seed=args.seed, compute_dtype=dtype,
-                         use_pallas=use_pallas, bwd_acts=args.bwd_acts)
+                         use_pallas=use_pallas, bwd_acts=args.bwd_acts,
+                         freq_reg_start_step=args.freq_reg_start_step,
+                         freq_reg_end_step=args.freq_reg_end_step)
 
     # shadow gating: mirror the single-AOI trainer's epoch-2 rule
     # (reference sat_rendering.py:269-274) on the flat ray pool

@@ -52,6 +52,29 @@ class TestMultiAOI:
         assert not np.allclose(q0, p0)
         assert not np.allclose(q1, p1)
 
+    def test_freq_reg_masks_and_matches_when_off(self, two_scenes):
+        """freq_reg threads through the scene-parallel step: an annealing
+        run executes, and freq_reg OFF is bit-identical to the pre-freq_reg
+        behavior (the always-applied mask is exactly ones)."""
+        import jax.numpy as jnp
+
+        mesh = make_mesh(n_data=4, n_scene=2)
+        kw = dict(n_samples=16, batch_size=64, net_depth=2, net_width=32)
+        tr_off = MultiAOITrainer(two_scenes, mesh, **kw)
+        np.testing.assert_array_equal(np.asarray(tr_off._pe_mask(0)), 1.0)
+        l_off = np.asarray(tr_off.train_steps(2, shadows=False))
+
+        tr_on = MultiAOITrainer(two_scenes, mesh, freq_reg_start_step=0,
+                                freq_reg_end_step=10, **kw)
+        m0 = np.asarray(tr_on._pe_mask(0))
+        np.testing.assert_array_equal(m0[3:], 0.0)  # bands off at step 0
+        l_on = np.asarray(tr_on.train_steps(2, shadows=False))
+        assert np.all(np.isfinite(l_on))
+        # same seeds, different effective encoding -> different trajectory
+        assert not np.allclose(l_on, l_off)
+        # past the ramp the mask is exactly all-ones again
+        np.testing.assert_array_equal(np.asarray(tr_on._pe_mask(10)), 1.0)
+
     def test_params_sharded_over_scene_axis(self, two_scenes):
         mesh = make_mesh(n_data=4, n_scene=2)
         tr = MultiAOITrainer(two_scenes, mesh, n_samples=16, batch_size=64,
