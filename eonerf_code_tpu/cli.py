@@ -87,7 +87,9 @@ def build_parser():
                    help="BARF-style coarse-to-fine PE annealing: ramp to "
                         "full bandwidth by this step (recommended with "
                         "--rpc_correction; 0 = off)")
-    g.add_argument("--freq_reg_start_step", type=int, default=0)
+    g.add_argument("--freq_reg_start_step", type=int, default=0,
+                   help="annealing ramp start (must be < --freq_reg_end_step;"
+                        " annealing is enabled by the END step)")
     g.add_argument("--data_axis", type=int, default=1,
                    help="devices on the ray-batch mesh axis: N>1 shards the "
                         "ray pool + every batch over N chips (gradient psum "

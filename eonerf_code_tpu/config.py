@@ -161,6 +161,15 @@ class TrainConfig:
     def __post_init__(self):
         if self.model == "eo-nerf":
             self.radiometric_normalization = True
+        if self.freq_reg_start_step > 0 and self.freq_reg_end_step <= 0:
+            raise ValueError(
+                "freq_reg_start_step set but freq_reg_end_step is 0 — "
+                "annealing is enabled by the END step (start defaults to 0)")
+        if self.freq_reg_end_step > 0 and \
+                self.freq_reg_start_step >= self.freq_reg_end_step:
+            raise ValueError(
+                f"freq_reg_start_step ({self.freq_reg_start_step}) must be < "
+                f"freq_reg_end_step ({self.freq_reg_end_step})")
 
     # --- JSON round trip (opt.py:105-107 / eval_eonerf.py:18-41) ---
 

@@ -73,6 +73,22 @@ def load_run(run_dir, epoch_nb=None, n_images=None):
     from eonerf_code_tpu.models.fused import make_render_field
 
     field = make_render_field(base_field, cfg)
+
+    # checkpoint saved mid coarse-to-fine ramp: training only ever rendered
+    # through the PE mask of its step (masked trunk rows carry untrained
+    # random init) — eval must apply the SAME mask or its renders mix
+    # trained structure with noise (train/loop.py _reg_params)
+    end = getattr(cfg, "freq_reg_end_step", 0)
+    ckpt_step = int(restored.get("step", end))
+    if end > 0 and ckpt_step < end:
+        from eonerf_code_tpu.models.encoders import barf_alpha, barf_freq_mask
+        from eonerf_code_tpu.models.freq_reg import mask_trunk_pe
+
+        deg = base_field.pos_enc_deg
+        mask = barf_freq_mask(
+            barf_alpha(ckpt_step, cfg.freq_reg_start_step, end, deg),
+            3, 0, deg)
+        params = mask_trunk_pe(params, mask)
     return cfg, field, params
 
 

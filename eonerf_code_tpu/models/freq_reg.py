@@ -31,14 +31,20 @@ def mask_trunk_pe(params, freq_mask, trunk_name="trunk"):
     """
     latent = freq_mask.shape[-1]
     trunk = params["params"][trunk_name]
-    widths = {v["kernel"].shape[1] for v in trunk.values()}
+    w0 = trunk["hidden_0"]["kernel"]
+    if w0.shape[0] != latent:
+        raise ValueError(
+            f"trunk layer 0 expects input dim {w0.shape[0]}, but the "
+            f"frequency mask has {latent} entries — PE layout mismatch")
+    width = w0.shape[1]
     new_trunk = {}
     for name, leaf in trunk.items():
         k = leaf["kernel"]
-        if k.shape[0] == latent:
+        if name == "hidden_0":
             k = k * freq_mask[:, None].astype(k.dtype)
-        elif k.shape[0] - latent in widths and k.shape[0] > latent:
-            m = jnp.concatenate([jnp.ones(k.shape[0] - latent, k.dtype),
+        elif k.shape[0] == width + latent:
+            # the layer after a skip concat: input layout [hidden | PE]
+            m = jnp.concatenate([jnp.ones(width, k.dtype),
                                  freq_mask.astype(k.dtype)])
             k = k * m[:, None]
         new_trunk[name] = {**leaf, "kernel": k}

@@ -444,6 +444,26 @@ class Trainer:
                             cfg.freq_reg_start_step, cfg.freq_reg_end_step, deg)
         return jax.vmap(lambda a: barf_freq_mask(a, 3, 0, deg))(alphas)
 
+    def _reg_params(self, step=None):
+        """Params as EVERY consumer must see them at `step` (default: the
+        current step): PE-masked while the coarse-to-fine ramp is active.
+        The masked high-frequency trunk rows receive zero gradient and sit
+        at random init, so reading the RAW params mid-ramp (occ-grid
+        updates, validation renders, entropy probe) would mix trained
+        low-frequency structure with untrained noise."""
+        cfg = self.cfg
+        step = self.step if step is None else step
+        if cfg.freq_reg_end_step <= 0 or step >= cfg.freq_reg_end_step:
+            return self.params
+        from eonerf_code_tpu.models.encoders import barf_alpha, barf_freq_mask
+        from eonerf_code_tpu.models.freq_reg import mask_trunk_pe
+
+        deg = self.field.pos_enc_deg
+        mask = barf_freq_mask(
+            barf_alpha(step, cfg.freq_reg_start_step, cfg.freq_reg_end_step,
+                       deg), 3, 0, deg)
+        return mask_trunk_pe(self.params, mask)
+
     def _occ_grid_stable(self, window=5, tol=0.05, tol_drift=0.025):
         """True once the occupied fraction has stopped moving. A fixed
         step-count warmup is NOT sufficient: on wide-envelope (IARPA-like)
@@ -501,7 +521,7 @@ class Trainer:
                                  1.0)
 
             self._entropy_probe = jax.jit(probe)
-        return float(self._entropy_probe(self.params))
+        return float(self._entropy_probe(self._reg_params()))
 
     def _entropy_ok(self):
         """True when the entropy gate is disabled or the latest probe shows
@@ -560,7 +580,8 @@ class Trainer:
                 if (self._occ_update is not None
                         and self.step % cfg.occ_update_every == 0):
                     key, okey = jax.random.split(key)
-                    self.occ_grid = self._occ_update(self.occ_grid, self.params, okey)
+                    self.occ_grid = self._occ_update(self.occ_grid,
+                                                     self._reg_params(), okey)
                     if cfg.occ_tighten:
                         self._occ_frac_hist.append(
                             float(jnp.mean(self.occ_grid.binaries)))
@@ -627,7 +648,7 @@ class Trainer:
         shadows = self.epoch_flags(self.epoch)[0] if shadows is None else shadows
         key = key or jax.random.PRNGKey(0)
         rays = satrays_from_tensor(jnp.asarray(sample["rays"]), jnp.asarray(sample["ts"]))
-        return render_image(self.render_field, self.params, rays, key, self.rcfg_eval,
+        return render_image(self.render_field, self._reg_params(), rays, key, self.rcfg_eval,
                             shadows=shadows, chunk=self.cfg.chunk, depth_only=depth_only,
                             occ_grid=self._occ_for_sampling())
 

@@ -47,7 +47,7 @@ ARMS = {
 }
 
 
-def run_arm(scenes, workdir, name, steps, spec, small=False):
+def run_arm(scenes, workdir, name, steps, small=False):
     overrides = dict(ARMS[name])
     scene = scenes["biased" if overrides.pop("biased") else "clean"]
     if small:  # CPU smoke: same code path, toy sizes
@@ -81,11 +81,11 @@ def run_arm(scenes, workdir, name, steps, spec, small=False):
           f"wall={time.time()-t0:.0f}s", flush=True)
 
     if cfg.rpc_correction and scene.get("rpc_biases_px"):
-        report_learned_offsets(trainer, scene, spec)
+        report_learned_offsets(trainer, scene)
     return mae
 
 
-def report_learned_offsets(trainer, scene, spec):
+def report_learned_offsets(trainer, scene):
     """Export the learned scene-frame offsets to image space and print them
     against the injected biases. BA can only fix the INCONSISTENT part of
     the miscalibration — a common-mode shift is gauge freedom the DSM
@@ -119,7 +119,8 @@ def report_learned_offsets(trainer, scene, spec):
               f"learned=({sign*dcg:+.2f},{sign*drg:+.2f})  resid={r:.2f}px",
               flush=True)
     print(f"  median |resid| = {np.median(resid):.2f} px "
-          f"(injected RMS {np.hypot(*inj_c.T).mean():.2f} px)", flush=True)
+          f"(mean |injected|, centered: {np.hypot(*inj_c.T).mean():.2f} px)",
+          flush=True)
 
 
 def main(workdir="/tmp/eonerf_ab_ba", steps="10000", bias_px="3.0", *arms):
@@ -137,13 +138,15 @@ def main(workdir="/tmp/eonerf_ab_ba", steps="10000", bias_px="3.0", *arms):
                     dsm_resolution=1.0, radiometric_jitter=0.08, seed=7)
     spec_c = SyntheticSceneSpec(**base)
     spec_b = SyntheticSceneSpec(rpc_bias_px=bias_px, **base)
-    scenes = {
-        "clean": generate_scene(os.path.join(workdir, "scene_clean"), spec_c),
-        "biased": generate_scene(os.path.join(workdir, "scene_biased"), spec_b),
-    }
+    needed = {"biased" if ARMS[a]["biased"] else "clean" for a in arms}
+    scenes = {}
+    if "clean" in needed:
+        scenes["clean"] = generate_scene(os.path.join(workdir, "scene_clean"), spec_c)
+    if "biased" in needed:
+        scenes["biased"] = generate_scene(os.path.join(workdir, "scene_biased"), spec_b)
     results = {}
     for name in arms:
-        results[name] = run_arm(scenes, workdir, name, steps, spec_b, small=small)
+        results[name] = run_arm(scenes, workdir, name, steps, small=small)
     print("RESULTS", results, flush=True)
 
 

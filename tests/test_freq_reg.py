@@ -96,6 +96,39 @@ class TestMask:
                                    rtol=1e-5, atol=1e-6)
 
 
+class TestConfigValidation:
+    def test_start_without_end_rejected(self):
+        from eonerf_code_tpu.config import TrainConfig
+        import pytest
+
+        with pytest.raises(ValueError, match="freq_reg_end_step"):
+            TrainConfig(root_dir=".", freq_reg_start_step=2000)
+        with pytest.raises(ValueError, match="must be <"):
+            TrainConfig(root_dir=".", freq_reg_start_step=5000,
+                        freq_reg_end_step=4000)
+
+    def test_layout_mismatch_rejected(self):
+        """A mask whose length does not match trunk layer 0 must raise, not
+        silently corrupt arbitrary layers (e.g. a net whose width equals the
+        PE latent dim)."""
+        import jax, pytest
+
+        mlp = MLP(output_dim=4, net_depth=2, net_width=63, skip_layer=None)
+        x = jnp.zeros((2, 63))
+        params = mlp.init(jax.random.PRNGKey(0), x)
+        mask = barf_freq_mask(2.0, 3, 0, 10)  # 63 wide — matches width, but
+        wrapped = {"params": {"trunk": params["params"]}}
+        # hidden_0 input dim IS 63 here, so the fold applies to layer 0 and
+        # leaves the (63, 63) hidden_1 alone (name-matched, not shape-matched)
+        out = mask_trunk_pe(wrapped, mask)
+        np.testing.assert_allclose(
+            np.asarray(out["params"]["trunk"]["hidden_1"]["kernel"]),
+            np.asarray(params["params"]["hidden_1"]["kernel"]))
+        # and a genuine layout mismatch raises
+        with pytest.raises(ValueError, match="PE layout mismatch"):
+            mask_trunk_pe(wrapped, barf_freq_mask(2.0, 3, 0, 8))
+
+
 class TestTrainerWiring:
     def test_pe_mask_block_shapes_and_off(self, tmp_path):
         from eonerf_code_tpu.config import TrainConfig
@@ -128,3 +161,46 @@ class TestTrainerWiring:
         assert stats["steps"] == 8
         # past the ramp the masks are exactly all-ones
         np.testing.assert_allclose(np.asarray(tr_on._pe_mask_block(6, 2)), 1.0)
+
+    def test_consumers_see_masked_params_mid_ramp(self, tmp_path):
+        """Every out-of-loss consumer (occ updates, validation renders,
+        entropy probe) must read params through the step's PE mask: the
+        masked trunk rows get zero gradient and sit at RANDOM init, so raw
+        params mid-ramp mix trained structure with noise. Eval of a
+        mid-ramp checkpoint applies the same mask at restore."""
+        from eonerf_code_tpu.config import TrainConfig
+        from eonerf_code_tpu.data.synthetic import SyntheticSceneSpec, generate_scene
+        from eonerf_code_tpu.models.freq_reg import mask_trunk_pe
+        from eonerf_code_tpu.train.loop import Trainer
+
+        spec = SyntheticSceneSpec(n_views=2, n_test_views=1, img_size=16,
+                                  dsm_resolution=4.0)
+        scene = generate_scene(str(tmp_path / "scene"), spec)
+        cfg = TrainConfig(
+            root_dir=scene["root_dir"], img_dir=scene["img_dir"],
+            gt_dir=scene["gt_dir"], logs_dir=str(tmp_path / "logs"),
+            exp_name="ramp", aoi_id=scene["aoi_id"], batch_size=64,
+            max_train_steps=6, n_samples=8, net_depth=2, net_width=16,
+            occ_enabled=False, val_freq=10**9, chunk=256, steps_per_call=3,
+            sampler="uniform", freq_reg_end_step=100, save_freq=6)
+        tr = Trainer(cfg)
+        tr.run(log_every=10**9)
+        assert tr.step == 6 < cfg.freq_reg_end_step
+        # mid-ramp: _reg_params is the masked view, not raw
+        masked = tr._reg_params()
+        k_raw = np.asarray(tr.params["params"]["trunk"]["hidden_0"]["kernel"])
+        k_masked = np.asarray(masked["params"]["trunk"]["hidden_0"]["kernel"])
+        assert not np.allclose(k_raw, k_masked)
+        expected = mask_trunk_pe(tr.params, np.asarray(tr._pe_mask_block(6, 1))[0])
+        np.testing.assert_allclose(
+            k_masked,
+            np.asarray(expected["params"]["trunk"]["hidden_0"]["kernel"]))
+
+        # eval restore of the mid-ramp checkpoint applies the same mask
+        from eonerf_code_tpu.eval.run import load_run
+
+        _, _, params = load_run(tr.log_dir)
+        np.testing.assert_allclose(
+            np.asarray(params["params"]["trunk"]["hidden_0"]["kernel"]),
+            np.asarray(expected["params"]["trunk"]["hidden_0"]["kernel"]),
+            rtol=1e-6, atol=1e-7)
