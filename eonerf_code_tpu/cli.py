@@ -7,6 +7,7 @@ ignored with a warning (listed in IGNORED_FLAGS).
 """
 
 import argparse
+import os
 import sys
 
 from eonerf_code_tpu.config import TrainConfig
@@ -149,6 +150,9 @@ def eval_cli(argv=None):
                         "reference's dormant branch; default: orthographic)")
     p.add_argument("--chunk", type=int, default=4096)
     p.add_argument("--dsm_resolution", type=float, default=None)
+    p.add_argument("--export_rpc", action="store_true",
+                   help="write bundle-adjusted per-view RPC metadata "
+                        "(requires a run trained with --rpc_correction)")
     args = p.parse_args(argv)
     from eonerf_code_tpu.eval.run import eval_eonerf
 
@@ -157,5 +161,17 @@ def eval_cli(argv=None):
                       img_dir=args.img_dir, gt_dir=args.gt_dir, dsm=args.dsm,
                       chunk=args.chunk, dsm_resolution=args.dsm_resolution,
                       pinhole=args.pinhole)
+    if args.export_rpc:
+        from eonerf_code_tpu.eval.export import export_adjusted_rpcs
+
+        rpc_dir = os.path.join(args.output_dir, args.run_id, "rpc_adjusted")
+        exported = export_adjusted_rpcs(
+            os.path.join(args.logs_dir, args.run_id), rpc_dir,
+            epoch_nb=args.epoch_nb, root_dir=args.root_dir,
+            img_dir=args.img_dir)
+        # eval_eonerf returns a dict (dsm mode) or a per-view list
+        out = dict(out) if isinstance(out, dict) else {"report": out}
+        out["rpc_adjusted_dir"] = rpc_dir
+        out["rpc_adjusted_views"] = len(exported)
     print(out)
     return out
