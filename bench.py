@@ -27,19 +27,20 @@ PEAK_BF16_TFLOPS = {"v5 lite": 197.0, "v5e": 197.0, "v4": 275.0,
                     "v5p": 459.0, "v6": 918.0}
 
 
-def model_flops_per_ray(n_samples=128):
+def model_flops_per_ray(n_samples=128, sc_n_samples=0):
     """Matmul FLOPs per ray for one full train step (LOGICAL model flops,
     not padded kernel flops — the honest MFU numerator). Camera pass runs
     trunk+all heads, shadow pass trunk+sigma; backward = recompute + dgrad
     + wgrad = 3x forward on top of the forward itself."""
     k = n_samples - 1
+    k_sc = (sc_n_samples or n_samples) - 1
     trunk = 63 * 256 + 6 * 256 * 256 + 319 * 256
     heads = (256 * 1 + 256 * 256            # sigma + bottleneck
              + 256 * 128 + 128 * 3          # albedo mlp
              + 260 * 128 + 3 * 128 * 128    # transient mlp
              + 128 * 2)                     # ts + tb
     cam = 2 * (trunk + heads) * k
-    sh = 2 * (trunk + 256) * k
+    sh = 2 * (trunk + 256) * k_sc
     return 4 * (cam + sh)  # fwd + 3x-fwd backward
 
 
@@ -51,7 +52,7 @@ def device_peak_tflops(device_str):
 
 
 def build_step(n_images=10, n_samples=128, compute_dtype="bfloat16", scan_steps=20,
-               trunk_quant=False, save_acts=False):
+               trunk_quant=False, save_acts=False, sc_n_samples=0):
     """Returns (megastep, params, opt_state): `scan_steps` full train steps
     chained by lax.scan inside one jit dispatch — the framework's real
     training operating mode (train/loop.py make_megastep). Uses the trainer's
@@ -80,7 +81,8 @@ def build_step(n_images=10, n_samples=128, compute_dtype="bfloat16", scan_steps=
         field = base_field
     optimizer = optax.adam(5e-4)
     opt_state = optimizer.init(params)
-    rcfg = RenderConfig(n_samples=n_samples, sc_n_samples=n_samples)
+    rcfg = RenderConfig(n_samples=n_samples,
+                        sc_n_samples=sc_n_samples or n_samples)
 
     @jax.jit
     def megastep(params, opt_state, batch, keys):
@@ -159,9 +161,13 @@ def main():
     # A/B hook: EONERF_BENCH_BWD_ACTS=saved measures the saved-activations
     # backward (stream trunk acts through HBM, skip the bwd recompute pass)
     save_acts = os.environ.get("EONERF_BENCH_BWD_ACTS", "recompute") == "saved"
+    # A/B hook: EONERF_BENCH_SC_SAMPLES=N measures a reduced shadow-march
+    # sample count (0 = follow n_samples, the reference's rule)
+    sc_n_samples = int(os.environ.get("EONERF_BENCH_SC_SAMPLES", "0"))
     results = {}
     train_step, params, opt_state = build_step(trunk_quant=trunk_quant,
-                                               save_acts=save_acts)
+                                               save_acts=save_acts,
+                                               sc_n_samples=sc_n_samples)
     for bs in (4096, 8192, 16384):
         try:
             results[bs] = time_batch(train_step, params, opt_state, bs)
@@ -176,7 +182,7 @@ def main():
     best_bs = max(valid, key=valid.get)
     best = valid[best_bs]
     device = str(jax.devices()[0])
-    fpr = model_flops_per_ray(128)
+    fpr = model_flops_per_ray(128, sc_n_samples)
     tflops = best * fpr / 1e12
     peak = device_peak_tflops(device)
     out = {
@@ -189,6 +195,7 @@ def main():
         "by_batch_size": {str(k): (round(v, 1) if v else None) for k, v in results.items()},
         "device": device,
         "n_samples": 128,
+        "sc_n_samples": sc_n_samples or 128,
         "shadows": True,
         "trunk_quant": {True: "int8", "full": "int8_full"}.get(
             trunk_quant, "none"),

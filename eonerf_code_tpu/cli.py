@@ -38,6 +38,10 @@ def build_parser():
     p.add_argument("--n_samples", type=int, default=128)
     p.add_argument("--n_importance", type=int, default=0,
                    help="hierarchical fine samples (dead in the reference; real here)")
+    p.add_argument("--sc_n_samples", type=int, default=0,
+                   help="shadow-march samples per solar ray (0 = follow "
+                        "--n_samples, the reference's rule; smaller trades "
+                        "shadow-pass FLOPs for occlusion resolution)")
     p.add_argument("--chunk", type=int, default=1024)
     p.add_argument("--geometric_shadows", action="store_true", default=True)
     p.add_argument("--no_geometric_shadows", dest="geometric_shadows", action="store_false")

@@ -46,6 +46,14 @@ class TrainConfig:
     n_samples: int = 128
     n_importance: int = 0                # hierarchical fine samples (dead in
                                          # the reference; implemented here)
+    sc_n_samples: int = 0                # shadow-march samples per solar ray
+                                         # (0 = follow n_samples, the
+                                         # reference's fixed rule,
+                                         # sat_rendering.py:286-298). The
+                                         # sigma-only sun march is ~48% of
+                                         # step matmul FLOPs at parity count;
+                                         # a smaller count is a speed lever
+                                         # A/B-able via run_production_scale
     sampler: str = "auto"                # camera-sampling strategy:
                                          #   auto         - pick from the scene's
                                          #     altitude envelope: compact ->

@@ -51,7 +51,8 @@ class MultiAOITrainer:
                  lr=5e-4, net_depth=8, net_width=256, seed=42,
                  compute_dtype=jnp.float32, use_pallas=False,
                  bwd_acts="recompute", interpret=None, perturb=True,
-                 freq_reg_start_step=0, freq_reg_end_step=0):
+                 freq_reg_start_step=0, freq_reg_end_step=0,
+                 sc_n_samples=0):
         self.mesh = mesh
         self.n_scenes = len(datasets)
         assert mesh.shape["scene"] == self.n_scenes or mesh.shape["scene"] == 1 or \
@@ -62,7 +63,8 @@ class MultiAOITrainer:
         # shard (same per-scene key, local batch shape) — statistically
         # equivalent to the XLA path's global draw, but not bit-matching;
         # perturb=False makes both paths deterministic (midpoint samples)
-        self.rcfg = RenderConfig(n_samples=n_samples, sc_n_samples=n_samples,
+        self.rcfg = RenderConfig(n_samples=n_samples,
+                                 sc_n_samples=sc_n_samples or n_samples,
                                  perturb=perturb)
 
         n_images = max(len(d.json_files) for d in datasets)

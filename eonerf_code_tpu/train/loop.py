@@ -256,7 +256,8 @@ class Trainer:
         self.occ_grid = OccupancyGrid.create(cfg.n_grid) if cfg.occ_enabled else None
         self.render_step_size = 2.0 / cfg.n_samples
         tighten_sc = cfg.resolved_occ_tighten_shadows()
-        self.rcfg = RenderConfig(n_samples=cfg.n_samples, sc_n_samples=cfg.n_samples,
+        self.rcfg = RenderConfig(n_samples=cfg.n_samples,
+                                 sc_n_samples=cfg.sc_n_samples or cfg.n_samples,
                                  n_importance=cfg.n_importance,
                                  occ_tighten=cfg.occ_tighten,
                                  occ_tighten_shadows=tighten_sc,

@@ -23,7 +23,7 @@ from eonerf_code_tpu.train.loop import Trainer  # noqa: E402
 
 
 def main(workdir="/tmp/eonerf_prod", steps=20000, compute_dtype="bfloat16",
-         trunk_quant="none", bwd_acts="recompute"):
+         trunk_quant="none", bwd_acts="recompute", sc_n_samples=0):
     # bfloat16 is the validated production default: MAE 0.352 m @ 20k steps,
     # held-out PSNR 24.47 dB vs float32's 0.361 m / 24.2 dB on this scene
     # (round-2 A/B, identical schedule) — bf16 converges at parity and is
@@ -55,7 +55,7 @@ def main(workdir="/tmp/eonerf_prod", steps=20000, compute_dtype="bfloat16",
         lr_decay_steps=3000, first_shadow_step=6000, first_beta_step=12000,
         val_freq=10**9, chunk=8192, steps_per_call=50, save_freq=5000,
         compute_dtype=compute_dtype, trunk_quant=trunk_quant,
-        bwd_acts=bwd_acts)
+        bwd_acts=bwd_acts, sc_n_samples=int(sc_n_samples))
     # auto-resume: long runs survive a killed/hung process (e.g. a dropped
     # device tunnel) — pick up from the newest checkpoint in the workdir
     from eonerf_code_tpu.train.checkpoints import latest_checkpoint
@@ -94,4 +94,4 @@ def main(workdir="/tmp/eonerf_prod", steps=20000, compute_dtype="bfloat16",
 
 
 if __name__ == "__main__":
-    main(*(sys.argv[1:6] or []))
+    main(*(sys.argv[1:7] or []))

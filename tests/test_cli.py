@@ -34,6 +34,18 @@ class TestCLI:
         cfg = config_from_args(["--root_dir", "/r", "--n_importance", "64"])
         assert cfg.n_importance == 64
 
+    def test_sc_n_samples_flag(self, tmp_path):
+        from eonerf_code_tpu.config import TrainConfig
+
+        cfg = config_from_args(["--root_dir", "/r", "--n_samples", "128",
+                                "--sc_n_samples", "64"])
+        assert cfg.sc_n_samples == 64
+        p = str(tmp_path / "opts.json")
+        cfg.save(p)
+        assert TrainConfig.load(p).sc_n_samples == 64
+        # default 0 = follow n_samples (the reference's fixed rule)
+        assert config_from_args(["--root_dir", "/r"]).sc_n_samples == 0
+
     def test_subset_flag_maps(self):
         cfg = config_from_args(["--root_dir", "/r", "--subset_Nviews", "9"])
         assert cfg.subset_n_views == 9
