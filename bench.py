@@ -152,7 +152,22 @@ def time_batch(train_step, params, opt_state, batch_size, warmup=2, iters=6):
 
 def main():
     import os
+    import signal
     import jax
+
+    # Watchdog: the tunneled axon device can hang indefinitely at init when
+    # the tunnel is down; better ONE error line than a silent stall. SIGALRM
+    # only fires if the whole bench exceeds the budget (normal run: ~3 min
+    # incl. compile; the alarm is cleared before printing results).
+    def _timeout(_sig, _frm):
+        print(json.dumps({"metric": "train_rays_per_sec_per_chip",
+                          "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
+                          "error": "device init/run exceeded watchdog "
+                                   "(TPU tunnel down?)"}), flush=True)
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(20 * 60)
 
     # A/B hook: EONERF_BENCH_QUANT=int8|int8_full measures the int8-trunk
     # operating points (kernel arithmetic only; workload identical)
@@ -181,6 +196,7 @@ def main():
         return
     best_bs = max(valid, key=valid.get)
     best = valid[best_bs]
+    signal.alarm(0)
     device = str(jax.devices()[0])
     fpr = model_flops_per_ray(128, sc_n_samples)
     tflops = best * fpr / 1e12

@@ -66,6 +66,9 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=1024,
                    help="rays per step PER SCENE")
     p.add_argument("--n_samples", type=int, default=64)
+    p.add_argument("--sc_n_samples", type=int, default=0,
+                   help="shadow-march samples per solar ray (0 = follow "
+                        "--n_samples)")
     p.add_argument("--fc_layers", type=int, default=8)
     p.add_argument("--fc_units", type=int, default=256)
     p.add_argument("--lr", type=float, default=5e-4)
@@ -138,6 +141,7 @@ def main_multi_train(argv=None):
     else:
         use_pallas = args.use_pallas == "true"
     tr = MultiAOITrainer(datasets, mesh, n_samples=args.n_samples,
+                         sc_n_samples=args.sc_n_samples,
                          batch_size=args.batch_size, lr=args.lr,
                          net_depth=args.fc_layers, net_width=args.fc_units,
                          seed=args.seed, compute_dtype=dtype,
