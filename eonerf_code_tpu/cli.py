@@ -154,6 +154,9 @@ def eval_cli(argv=None):
                         "reference's dormant branch; default: orthographic)")
     p.add_argument("--chunk", type=int, default=4096)
     p.add_argument("--dsm_resolution", type=float, default=None)
+    p.add_argument("--data_axis", type=int, default=0,
+                   help="shard eval rendering over N devices (-1 = all; "
+                        "0/1 = single device)")
     p.add_argument("--export_rpc", action="store_true",
                    help="write bundle-adjusted per-view RPC metadata "
                         "(requires a run trained with --rpc_correction)")
@@ -164,7 +167,7 @@ def eval_cli(argv=None):
                       epoch_nb=args.epoch_nb, root_dir=args.root_dir,
                       img_dir=args.img_dir, gt_dir=args.gt_dir, dsm=args.dsm,
                       chunk=args.chunk, dsm_resolution=args.dsm_resolution,
-                      pinhole=args.pinhole)
+                      pinhole=args.pinhole, data_axis=args.data_axis)
     if args.export_rpc:
         from eonerf_code_tpu.eval.export import export_adjusted_rpcs
 

@@ -182,9 +182,20 @@ def save_depth_priors_img(dataset, sample, external_dsm_path, out_dir,
 
 def eval_eonerf(run_id, logs_dir, output_dir, epoch_nb=None, root_dir=None,
                 img_dir=None, gt_dir=None, dsm=False, chunk=4096, dsm_resolution=None,
-                pinhole=False):
+                pinhole=False, data_axis=0):
     run_dir = os.path.join(logs_dir, run_id)
     cfg, field, params = load_run(run_dir, epoch_nb)
+    if data_axis and data_axis != 1:
+        import functools
+
+        from eonerf_code_tpu.parallel.mesh import make_mesh
+        from eonerf_code_tpu.render.satellite import render_image_sharded
+
+        mesh = make_mesh(n_data=None if data_axis == -1 else data_axis)
+        render = functools.partial(render_image_sharded, mesh=mesh)
+        print(f"eval sharded over {mesh.shape['data']} devices", flush=True)
+    else:
+        render = render_image
     if root_dir:
         cfg.root_dir = root_dir
     if img_dir:
@@ -224,8 +235,8 @@ def eval_eonerf(run_id, logs_dir, output_dir, epoch_nb=None, root_dir=None,
             img_downscale=cfg.img_downscale, pinhole=pinhole)
         rays = satrays_from_tensor(jnp.asarray(rays_np),
                                    jnp.zeros((rays_np.shape[0],), jnp.int32))
-        results = render_image(field, params, rays, key, rcfg, shadows=True,
-                               chunk=chunk, occ_grid=occ_grid)
+        results = render(field, params, rays, key, rcfg, shadows=True,
+                         chunk=chunk, occ_grid=occ_grid)
         sample = {"rays": rays_np, "rgbs": np.ones((rays_np.shape[0], 3), np.float32),
                   "src_id": src_id, "h": h, "w": w}
         save_outputs_to_images(dataset, sample, results, out_dir)
@@ -256,8 +267,8 @@ def eval_eonerf(run_id, logs_dir, output_dir, epoch_nb=None, root_dir=None,
     for i in range(len(dataset.json_files)):
         sample = dataset.get_val_sample(i)
         rays = satrays_from_tensor(jnp.asarray(sample["rays"]), jnp.asarray(sample["ts"]))
-        results = render_image(field, params, rays, key, rcfg, shadows=True,
-                               chunk=chunk, occ_grid=occ_grid)
+        results = render(field, params, rays, key, rcfg, shadows=True,
+                         chunk=chunk, occ_grid=occ_grid)
         rgbs = jnp.asarray(sample["rgbs"])
         loss, _ = M.uncertainty_aware_loss(rgbs, results["rgb"], results["beta"])
         psnr_ = M.psnr(results["rgb"], rgbs)

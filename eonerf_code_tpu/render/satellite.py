@@ -436,3 +436,50 @@ def render_image(field, params, rays: SatRays, key, cfg: RenderConfig,
     if depth_only:
         return {"depth": unblock(out)}
     return {k: unblock(v) for k, v in out.items()}
+
+
+def render_image_sharded(field, params, rays: SatRays, key, cfg: RenderConfig,
+                         shadows: bool, mesh, chunk: int = 4096, occ_grid=None,
+                         depth_only: bool = False):
+    """render_image fanned out over the mesh's "data" axis: the block list
+    is sharded so each chip renders its contiguous run of blocks (shard_map
+    — the same composition the multi-AOI trainer uses, so the fused Pallas
+    kernels partition too, which a GSPMD annotation on an opaque pallas
+    call would not). Per-GLOBAL-block keys are drawn exactly like
+    render_image's, so for a ray count divisible by chunk*n_data the output
+    is bit-identical to the single-device path; with perturb=False it is
+    bit-identical for any ray count (no RNG is consumed)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # checkpoint-restored params/grid arrive committed to one device;
+    # replicate them onto the mesh so the closed-over values are legal
+    # inside the sharded computation
+    rep = NamedSharding(mesh, P())
+    params = jax.device_put(params, rep)
+    if occ_grid is not None:
+        occ_grid = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x,
+            occ_grid)
+
+    n_data = mesh.shape["data"]
+    padded = [_pad_to_multiple(x, chunk * n_data)[0] for x in rays]
+    n = rays.origins.shape[0]
+    n_blocks = padded[0].shape[0] // chunk
+    blocks = SatRays(*(x.reshape(n_blocks, chunk, *x.shape[1:]) for x in padded))
+    keys = jax.random.split(key, n_blocks)
+
+    if depth_only:
+        fn = lambda args: render_depth(field, params, args[0], args[1], cfg,  # noqa: E731
+                                       occ_grid=occ_grid)
+    else:
+        fn = lambda args: render_rays(field, params, args[0], args[1], cfg,  # noqa: E731
+                                      shadows, occ_grid=occ_grid)
+
+    local = lambda b, k: jax.lax.map(fn, (b, k))  # noqa: E731
+    out = jax.shard_map(local, mesh=mesh,
+                        in_specs=(P("data"), P("data")),
+                        out_specs=P("data"), check_vma=False)(blocks, keys)
+    unblock = lambda x: x.reshape(n_blocks * chunk, *x.shape[2:])[:n]  # noqa: E731
+    if depth_only:
+        return {"depth": unblock(out)}
+    return {k: unblock(v) for k, v in out.items()}
