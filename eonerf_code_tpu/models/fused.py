@@ -62,6 +62,7 @@ class PallasField:
         # kernels shard_map over `data_axis` (weights replicated, weight
         # grads psum'd over ICI).
         self.field = field
+        self.mesh = mesh
         self.beta_min = field.beta_min
         self.rpc_correction = field.rpc_correction
         self.n_images = field.n_images

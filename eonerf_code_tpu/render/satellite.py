@@ -451,6 +451,15 @@ def render_image_sharded(field, params, rays: SatRays, key, cfg: RenderConfig,
     bit-identical for any ray count (no RNG is consumed)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    if getattr(field, "mesh", None) is not None:
+        # the field's fused ops already shard_map over the mesh internally
+        # (a Trainer-built PallasField); wrapping them in a second shard_map
+        # would nest Manual contexts — the plain block loop is already the
+        # sharded render for such a field
+        return render_image(field, params, rays, key, cfg, shadows,
+                            chunk=chunk, occ_grid=occ_grid,
+                            depth_only=depth_only)
+
     # checkpoint-restored params/grid arrive committed to one device;
     # replicate them onto the mesh so the closed-over values are legal
     # inside the sharded computation
