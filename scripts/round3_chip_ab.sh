@@ -33,5 +33,14 @@ for bwd in recompute saved; do
   done
 done
 
-log "done; results in $OUT"
+log "stage 2 summary"
 grep -h '"metric"' "$OUT"/bench_*.json 2>/dev/null | tee -a "$OUT/sweep.log"
+
+# stage 3: quality side of the sc64 lever — production-scale 20k-step run
+# with a 64-sample shadow march (vs the recorded scfull baselines:
+# MAE 0.338 m / PSNR 24.30 dB). Auto-resumes if interrupted.
+log "stage 3: sc64 production quality run (20k steps)"
+timeout 5400 python scripts/run_production_scale.py /tmp/prod_sc64 20000 \
+    bfloat16 none recompute 64 2>&1 | tail -40 | tee "$OUT/prod_sc64.log"
+
+log "done; results in $OUT"
