@@ -163,7 +163,15 @@ def main():
         print(json.dumps({"metric": "train_rays_per_sec_per_chip",
                           "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
                           "error": "device init/run exceeded watchdog "
-                                   "(TPU tunnel down?)"}), flush=True)
+                                   "(TPU tunnel down?)",
+                          # context, NOT a measurement from this run: the
+                          # most recent completed on-chip result of this
+                          # same benchmark (see STATUS.md headline table)
+                          "last_measured": {
+                              "value": 89508.0, "unit": "rays/s",
+                              "date": "2026-08-17",
+                              "device": "TPU v5 lite", "mfu": 0.537}}),
+              flush=True)
         os._exit(2)
 
     signal.signal(signal.SIGALRM, _timeout)
