@@ -42,9 +42,19 @@ ARMS = {
 }
 
 
-def run_arm(scene, workdir, name, steps, small=False):
+def run_arm(scene, workdir, name, steps, small=False, mid=False):
     overrides = dict(ARMS[name])
-    if small:
+    if mid:
+        # mid-scale CPU arm (~1 step/s on one core): big enough for the
+        # shadow phase to shape geometry, small enough to finish in ~1 h
+        ratio = {"scfull": 0, "sc64": 32, "sc48": 24, "sc32": 16}
+        overrides["sc_n_samples"] = ratio[name]
+        size = dict(batch_size=512, n_samples=48, net_depth=4, net_width=96,
+                    occ_enabled=False, sampler="uniform", chunk=4096,
+                    steps_per_call=25, compute_dtype="float32",
+                    lr_decay_steps=1200, first_shadow_step=800,
+                    first_beta_step=10**9)
+    elif small:
         # keep the RATIO of the production arm: n_samples=32 here, so
         # sc64/96 -> 21, sc48/96 -> 16, sc32/96 -> 11. Toy scale sized for
         # a single CPU core — directional only.
@@ -89,15 +99,17 @@ def run_arm(scene, workdir, name, steps, small=False):
 def main():
     argv = sys.argv[1:]
     small = "--small" in argv
-    argv = [a for a in argv if a != "--small"]
-    if small:
+    mid = "--mid" in argv
+    argv = [a for a in argv if a not in ("--small", "--mid")]
+    if small or mid:
         # pin CPU BEFORE any backend init (the dev image's sitecustomize
         # force-registers the remote TPU plugin over JAX_PLATFORMS)
         import jax
 
         jax.config.update("jax_platforms", "cpu")
     workdir = argv[0] if argv else "/tmp/ab_sc"
-    steps = int(argv[1]) if len(argv) > 1 else (2000 if small else 20000)
+    steps = int(argv[1]) if len(argv) > 1 else \
+        (2000 if small else 4000 if mid else 20000)
     arms = argv[2:] or list(ARMS)
 
     if small:
@@ -105,6 +117,11 @@ def main():
             n_views=5, n_test_views=1, img_size=64, extent=100.0,
             n_buildings=3, box_size=24.0, box_height=18.0,
             dsm_resolution=2.0, radiometric_jitter=0.05, seed=7)
+    elif mid:
+        spec = SyntheticSceneSpec(
+            n_views=6, n_test_views=1, img_size=96, extent=160.0,
+            n_buildings=4, box_size=32.0, box_height=20.0,
+            dsm_resolution=1.5, radiometric_jitter=0.05, seed=7)
     else:
         spec = SyntheticSceneSpec(
             n_views=10, n_test_views=2, img_size=320, extent=400.0,
@@ -114,7 +131,8 @@ def main():
 
     results = {}
     for name in arms:
-        results[name] = run_arm(scene, workdir, name, steps, small=small)
+        results[name] = run_arm(scene, workdir, name, steps, small=small,
+                                mid=mid)
     print("\n== summary ==")
     for name, (mae, psnr) in results.items():
         print(f"  {name:8s} MAE={mae:.3f} m  PSNR={psnr:.2f} dB")
