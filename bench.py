@@ -27,11 +27,19 @@ PEAK_BF16_TFLOPS = {"v5 lite": 197.0, "v5e": 197.0, "v4": 275.0,
                     "v5p": 459.0, "v6": 918.0}
 
 
-def model_flops_per_ray(n_samples=128, sc_n_samples=0):
+def flops_per_ray(n_samples=128, sc_n_samples=0, save_acts=False):
     """Matmul FLOPs per ray for one full train step (LOGICAL model flops,
-    not padded kernel flops — the honest MFU numerator). Camera pass runs
-    trunk+all heads, shadow pass trunk+sigma; backward = recompute + dgrad
-    + wgrad = 3x forward on top of the forward itself."""
+    not padded kernel flops). Returns (model, executed):
+
+    - model: remat-independent algorithmic flops — fwd + dgrad + wgrad =
+      3x forward (the standard MFU numerator; recomputation is NOT useful
+      work by this definition).
+    - executed: what the hardware actually runs. The backward kernels are
+      flash-style — they recompute the forward before dgrad+wgrad (4x fwd
+      total); with ``save_acts`` the 8-matmul trunk recompute is skipped
+      (trunk 3x, heads still recomputed from the streamed activations).
+      executed/peak = HFU.
+    """
     k = n_samples - 1
     k_sc = (sc_n_samples or n_samples) - 1
     trunk = 63 * 256 + 6 * 256 * 256 + 319 * 256
@@ -39,9 +47,15 @@ def model_flops_per_ray(n_samples=128, sc_n_samples=0):
              + 256 * 128 + 128 * 3          # albedo mlp
              + 260 * 128 + 3 * 128 * 128    # transient mlp
              + 128 * 2)                     # ts + tb
-    cam = 2 * (trunk + heads) * k
+    cam_trunk = 2 * trunk * k
+    cam_heads = 2 * heads * k
     sh = 2 * (trunk + 256) * k_sc
-    return 4 * (cam + sh)  # fwd + 3x-fwd backward
+    model = 3 * (cam_trunk + cam_heads + sh)
+    if save_acts:
+        executed = 3 * cam_trunk + 4 * cam_heads + 3 * sh
+    else:
+        executed = 4 * (cam_trunk + cam_heads + sh)
+    return model, executed
 
 
 def device_peak_tflops(device_str):
@@ -169,8 +183,8 @@ def main():
                           # same benchmark (see STATUS.md headline table)
                           "last_measured": {
                               "value": 89508.0, "unit": "rays/s",
-                              "date": "2026-08-17",
-                              "device": "TPU v5 lite", "mfu": 0.537}}),
+                              "date": "2026-08-17", "device": "TPU v5 lite",
+                              "hfu": 0.537, "mfu": 0.403}}),
               flush=True)
         os._exit(2)
 
@@ -206,8 +220,9 @@ def main():
     best = valid[best_bs]
     signal.alarm(0)
     device = str(jax.devices()[0])
-    fpr = model_flops_per_ray(128, sc_n_samples)
-    tflops = best * fpr / 1e12
+    model_fpr, exec_fpr = flops_per_ray(128, sc_n_samples, save_acts)
+    model_tflops = best * model_fpr / 1e12
+    exec_tflops = best * exec_fpr / 1e12
     peak = device_peak_tflops(device)
     out = {
         "metric": "train_rays_per_sec_per_chip",
@@ -224,11 +239,16 @@ def main():
         "trunk_quant": {True: "int8", "full": "int8_full"}.get(
             trunk_quant, "none"),
         "bwd_acts": "saved" if save_acts else "recompute",
-        # FLOP-counted efficiency: logical model matmul flops (fwd + 3x-fwd
-        # backward, camera + shadow passes), NOT padded kernel flops
-        "model_flops_per_ray": fpr,
-        "model_tflops_per_sec": round(tflops, 1),
-        "mfu_vs_bf16_peak": (round(tflops / peak, 3) if peak else None),
+        # FLOP-counted efficiency, both definitions (see flops_per_ray):
+        # MFU = remat-independent model flops (fwd + dgrad + wgrad) / peak;
+        # HFU = executed flops (incl. the backward's flash-style forward
+        # recompute) / peak. Logical matmul flops, NOT padded kernel flops.
+        "model_flops_per_ray": model_fpr,
+        "executed_flops_per_ray": exec_fpr,
+        "model_tflops_per_sec": round(model_tflops, 1),
+        "executed_tflops_per_sec": round(exec_tflops, 1),
+        "mfu_vs_bf16_peak": (round(model_tflops / peak, 3) if peak else None),
+        "hfu_vs_bf16_peak": (round(exec_tflops / peak, 3) if peak else None),
         "peak_bf16_tflops_assumed": peak,
     }
     print(json.dumps(out))
