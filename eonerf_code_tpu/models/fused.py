@@ -56,7 +56,8 @@ def make_render_field(field, cfg, mesh=None):
 class PallasField:
     def __init__(self, field, tile=2048, bwd_tile=1024, interpret=False,
                  vmem_limit_mb=32, mesh=None, data_axis="data",
-                 trunk_quant=False, save_acts=False):
+                 trunk_quant=False, save_acts=False,
+                 save_acts_cap_mb=6144):
         # defaults = the measured v5e optimum (scripts/scan_pallas_tiles.py);
         # bwd_tile=1024 needs the raised scoped-vmem limit. With `mesh` the
         # kernels shard_map over `data_axis` (weights replicated, weight
@@ -86,12 +87,14 @@ class PallasField:
             dtype, tile_target=tile, bwd_tile_target=bwd_tile,
             interpret=interpret, vmem_limit_mb=max(vmem_limit_mb or 0, 64),
             mesh=mesh, data_axis=data_axis, trunk_quant=trunk_quant,
-            save_acts=save_acts)
+            save_acts=save_acts, save_acts_cap_mb=save_acts_cap_mb)
         self.fused_shadow = make_fused_shadow(
             dtype, tile_target=tile, bwd_tile_target=bwd_tile,
             interpret=interpret, vmem_limit_mb=max(vmem_limit_mb or 0, 64),
             mesh=mesh, data_axis=data_axis, trunk_quant=trunk_quant,
-            save_acts=save_acts)
+            save_acts=save_acts, save_acts_cap_mb=save_acts_cap_mb)
+        self.save_acts = save_acts
+        self.save_acts_cap_mb = save_acts_cap_mb
         self.fused_coarse = make_fused_coarse(
             dtype, tile_target=tile, interpret=interpret,
             vmem_limit_mb=max(vmem_limit_mb or 0, 64),
@@ -99,6 +102,32 @@ class PallasField:
         self.trunk_quant = trunk_quant
         self.pack = pack_params
         self.supports_fused_render = True
+
+    def step_save_ok(self, r, k_cam, k_sc=0):
+        """All-or-nothing saved-activations gate for one render step.
+
+        Returns True only when EVERY per-sample activation stream the step
+        would write (camera K = k_cam, shadow K = k_sc; 0 = no shadow pass)
+        fits the per-kernel cap. A MIXED step — one kernel saved, its
+        sibling falling back to recompute — was measured pathological
+        on-chip: bs 16384 / sc 64 ran at 3.8k rays/s vs 112k all-recompute
+        (the live stream buffer stacked on the recompute path's peak
+        workspace overflows HBM and spills through the host tunnel). The
+        renderer threads the result through the kernels' ``save_ok``."""
+        if not self.save_acts:
+            return False
+        from eonerf_code_tpu.ops.pallas.fused_render import (
+            _kpad_of,
+            _saved_bytes,
+        )
+
+        cap = self.save_acts_cap_mb * 2**20
+        dtype = self.field.compute_dtype
+        if _saved_bytes(r, _kpad_of(k_cam), dtype) > cap:
+            return False
+        if k_sc and _saved_bytes(r, _kpad_of(k_sc), dtype) > cap:
+            return False
+        return True
 
     def apply(self, params, *args, method=None):
         if method in ("radiometric", "ray_offset", "ambient"):

@@ -799,35 +799,53 @@ def make_fused_camera(compute_dtype=jnp.bfloat16, tile_target=2048,
         _backward_rec = _shard_bwd(_backward_rec, mesh, data_axis,
                                    n_pt_grads=1)
 
-    def _use_saved(z_shape):
-        if not save_acts:
+    def _use_saved(z_shape, allow_save):
+        if not (save_acts and allow_save):
             return False
         r, k = z_shape
         return (_saved_bytes(r, _kpad_of(k), compute_dtype)
                 <= save_acts_cap_mb * 2**20)
 
-    @jax.custom_vjp
-    def camera(weights, rayin, z, deltam):
-        return _forward(weights, rayin, z, deltam)
+    def _make_vjp(allow_save):
+        @jax.custom_vjp
+        def camera(weights, rayin, z, deltam):
+            return _forward(weights, rayin, z, deltam)
 
-    def fwd(weights, rayin, z, deltam):
-        if _use_saved(z.shape):
-            acc, acts = _forward_save(weights, rayin, z, deltam)
-            return acc, (weights, rayin, z, deltam, acts)
-        return camera(weights, rayin, z, deltam), (weights, rayin, z, deltam)
+        def fwd(weights, rayin, z, deltam):
+            if _use_saved(z.shape, allow_save):
+                acc, acts = _forward_save(weights, rayin, z, deltam)
+                return acc, (weights, rayin, z, deltam, acts)
+            return (camera(weights, rayin, z, deltam),
+                    (weights, rayin, z, deltam))
 
-    def bwd(res, gacc):
-        if len(res) == 5:
-            weights, rayin, z, deltam, acts = res
-            d_weights, d_rayin = _backward_saved(weights, rayin, z, deltam,
-                                                 gacc, acts)
-        else:
-            weights, rayin, z, deltam = res
-            d_weights, d_rayin = _backward_rec(weights, rayin, z, deltam,
-                                               gacc)
-        return d_weights, d_rayin, jnp.zeros_like(z), jnp.zeros_like(deltam)
+        def bwd(res, gacc):
+            if len(res) == 5:
+                weights, rayin, z, deltam, acts = res
+                d_weights, d_rayin = _backward_saved(weights, rayin, z,
+                                                     deltam, gacc, acts)
+            else:
+                weights, rayin, z, deltam = res
+                d_weights, d_rayin = _backward_rec(weights, rayin, z, deltam,
+                                                   gacc)
+            return (d_weights, d_rayin, jnp.zeros_like(z),
+                    jnp.zeros_like(deltam))
 
-    camera.defvjp(fwd, bwd)
+        camera.defvjp(fwd, bwd)
+        return camera
+
+    camera_save, camera_rec = _make_vjp(True), _make_vjp(False)
+
+    def camera(weights, rayin, z, deltam, save_ok=True):
+        """``save_ok`` (static) is the STEP-level all-or-nothing gate the
+        renderer computes over every stream in the train step: a MIXED step
+        (one kernel saved, its sibling recomputing) was measured
+        pathological on-chip — bs 16384 / sc 64 ran at 3.8k rays/s vs 112k
+        all-recompute, the live stream buffer on top of the recompute
+        path's peak workspace overflowing HBM into host spills. The
+        per-kernel cap above still applies on top of save_ok."""
+        return (camera_save if save_ok else camera_rec)(
+            weights, rayin, z, deltam)
+
     return camera
 
 
@@ -961,37 +979,49 @@ def make_fused_shadow(compute_dtype=jnp.bfloat16, tile_target=2048,
         _backward_rec = _shard_bwd(_backward_rec, mesh, data_axis,
                                    n_pt_grads=1)
 
-    def _use_saved(z_shape):
-        if not save_acts:
+    def _use_saved(z_shape, allow_save):
+        if not (save_acts and allow_save):
             return False
         r, k = z_shape
         return (_saved_bytes(r, _kpad_of(k), compute_dtype)
                 <= save_acts_cap_mb * 2**20)
 
-    @jax.custom_vjp
-    def shadow(weights, rayin, z, deltam, mask):
-        return _forward(weights, rayin, z, deltam, mask)
+    def _make_vjp(allow_save):
+        @jax.custom_vjp
+        def shadow(weights, rayin, z, deltam, mask):
+            return _forward(weights, rayin, z, deltam, mask)
 
-    def fwd(weights, rayin, z, deltam, mask):
-        if _use_saved(z.shape):
-            geo, acts = _forward_save(weights, rayin, z, deltam, mask)
-            return geo, (weights, rayin, z, deltam, mask, acts)
-        return shadow(weights, rayin, z, deltam, mask), (weights, rayin, z,
-                                                         deltam, mask)
+        def fwd(weights, rayin, z, deltam, mask):
+            if _use_saved(z.shape, allow_save):
+                geo, acts = _forward_save(weights, rayin, z, deltam, mask)
+                return geo, (weights, rayin, z, deltam, mask, acts)
+            return (shadow(weights, rayin, z, deltam, mask),
+                    (weights, rayin, z, deltam, mask))
 
-    def bwd(res, ggeo):
-        if len(res) == 6:
-            weights, rayin, z, deltam, mask, acts = res
-            d_weights, d_rayin = _backward_saved(weights, rayin, z, deltam,
-                                                 mask, ggeo, acts)
-        else:
-            weights, rayin, z, deltam, mask = res
-            d_weights, d_rayin = _backward_rec(weights, rayin, z, deltam,
-                                               mask, ggeo)
-        return (d_weights, d_rayin, jnp.zeros_like(z),
-                jnp.zeros_like(deltam), jnp.zeros_like(mask))
+        def bwd(res, ggeo):
+            if len(res) == 6:
+                weights, rayin, z, deltam, mask, acts = res
+                d_weights, d_rayin = _backward_saved(weights, rayin, z,
+                                                     deltam, mask, ggeo, acts)
+            else:
+                weights, rayin, z, deltam, mask = res
+                d_weights, d_rayin = _backward_rec(weights, rayin, z, deltam,
+                                                   mask, ggeo)
+            return (d_weights, d_rayin, jnp.zeros_like(z),
+                    jnp.zeros_like(deltam), jnp.zeros_like(mask))
 
-    shadow.defvjp(fwd, bwd)
+        shadow.defvjp(fwd, bwd)
+        return shadow
+
+    shadow_save, shadow_rec = _make_vjp(True), _make_vjp(False)
+
+    def shadow(weights, rayin, z, deltam, mask, save_ok=True):
+        """``save_ok``: step-level all-or-nothing gate — see
+        make_fused_camera's wrapper docstring for the measured mixed-mode
+        pathology it prevents."""
+        return (shadow_save if save_ok else shadow_rec)(
+            weights, rayin, z, deltam, mask)
+
     return shadow
 
 

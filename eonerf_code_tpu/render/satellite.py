@@ -314,7 +314,13 @@ def _render_rays_fused(field, params, rays: SatRays, key, cfg: RenderConfig,
     w = field.pack(params)
     emb = params["params"]["transient_encoder"]["embedding"][rays.img_idx]
     rayin = jnp.concatenate([o, d, emb, jnp.zeros((r, 6), o.dtype)], axis=1)
-    acc = field.fused_camera(w, rayin, z_mid, deltam)
+    # step-level saved-acts gate: save only if every stream of THIS step
+    # (camera, plus shadow when marching) fits — a mixed saved/recompute
+    # step overflows HBM and was measured 30x slower (see
+    # PallasField.step_save_ok)
+    save_ok = field.step_save_ok(
+        r, z_mid.shape[1], (cfg.sc_n_samples - 1) if shadows else 0)
+    acc = field.fused_camera(w, rayin, z_mid, deltam, save_ok=save_ok)
     depth = acc[:, 0]
     albedo_acc = acc[:, 1:4]
     t_s_acc = acc[:, 4:5]
@@ -343,7 +349,8 @@ def _render_rays_fused(field, params, rays: SatRays, key, cfg: RenderConfig,
         rayin_sc = jnp.concatenate(
             [sc_o, sc_d, jnp.zeros((r, 10), o.dtype)], axis=1)
         geo = field.fused_shadow(w, rayin_sc, sc_z, sc_delta * sc_mask,
-                                 sc_mask.astype(jnp.float32))
+                                 sc_mask.astype(jnp.float32),
+                                 save_ok=save_ok)
         geo_shadow = geo[:, None]
         s = geo_shadow * t_s_acc
         sc_pts = jnp.sum(sc_mask, axis=-1).astype(albedo_acc.dtype)[:, None]

@@ -287,7 +287,9 @@ def _bwd_core(g, acts, tw, dw_refs, first):
     """Shared dgrad+wgrad chain: acts[i] = post-relu output of layer i,
     acts[-1] (i.e. index -1 handled by caller) = layer input."""
     for i in range(7, -1, -1):
-        mask = (acts[i] > 0).astype(DT)
+        # f32 compare: Mosaic has no bf16 cmpf (matches the
+        # production kernels' _relu_mask/_masks_from_acts rule)
+        mask = (acts[i].astype(jnp.float32) > 0).astype(DT)
         g = g * mask
         inp = acts[i - 1] if i > 0 else acts[8]   # acts[8] = layer-0 input
         dw = jax.lax.dot_general(inp, g, (((0,), (0,)), ((), ())),

@@ -272,6 +272,56 @@ class TestSavedActs:
                                    np.asarray(cam_r(w, rayin, z_, deltam)),
                                    rtol=0, atol=0)
 
+    def test_save_ok_false_forces_recompute(self, setup):
+        """save_ok=False (the renderer's step-level all-or-nothing gate)
+        routes a save-capable kernel through the recompute path —
+        bit-identical gradients."""
+        field, params, (o, d, z, delta, mask, idx) = setup
+        cam = make_fused_camera(jnp.float32, interpret=True, save_acts=True)
+        cam_r = make_fused_camera(jnp.float32, interpret=True)
+        emb = params["params"]["transient_encoder"]["embedding"][idx]
+        deltam = set_last_valid(delta, mask, 1e10) * mask
+        coef = jnp.asarray(np.random.default_rng(2).normal(
+            size=(o.shape[0], 7)).astype(np.float32))
+
+        def loss(fn, **kw):
+            def f(w, o_):
+                acc = fn(w, _rayin(o_, d, emb), z, deltam, **kw)
+                return jnp.sum(acc[:, :7] * coef)
+            return jax.grad(f, argnums=(0, 1))(pack_params(params), o)
+
+        gw_g, go_g = loss(cam, save_ok=False)
+        gw_r, go_r = loss(cam_r)
+        np.testing.assert_allclose(np.asarray(go_g), np.asarray(go_r),
+                                   rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(gw_g.trunk_w[0]),
+                                   np.asarray(gw_r.trunk_w[0]),
+                                   rtol=0, atol=0)
+
+    def test_step_save_ok_all_or_nothing(self, setup):
+        """PallasField.step_save_ok: True only when every stream of the
+        step fits the cap (mixed saved/recompute steps are the measured
+        on-chip pathology)."""
+        from eonerf_code_tpu.models.fused import PallasField
+
+        field, params, _ = setup
+        # cap sized between the two streams: camera (K=128) over, shadow
+        # (K=32) under -> the STEP must say no
+        r, k_cam, k_sc = 4096, 128, 32
+        cam_mb = r * 128 * 2048 * 4 / 2**20   # f32 stream, kpad(128)=128
+        pf = PallasField(field, interpret=True, save_acts=True,
+                         save_acts_cap_mb=int(cam_mb * 0.5))
+        assert not pf.step_save_ok(r, k_cam, k_sc)
+        # both fit -> yes
+        pf_big = PallasField(field, interpret=True, save_acts=True,
+                             save_acts_cap_mb=int(cam_mb * 2))
+        assert pf_big.step_save_ok(r, k_cam, k_sc)
+        # camera-only step with a small camera stream -> yes
+        assert pf.step_save_ok(r, k_sc, 0)
+        # save_acts off -> always no
+        pf_off = PallasField(field, interpret=True, save_acts=False)
+        assert not pf_off.step_save_ok(r, k_sc, 0)
+
 
 class TestCoarseOp:
     def test_forward_parity(self, setup):
