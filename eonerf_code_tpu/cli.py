@@ -67,7 +67,13 @@ def build_parser():
     g.add_argument("--occ_tighten_start_step", type=int, default=2000)
     g.add_argument("--occ_entropy_max", type=float, default=None,
                    help="tighten only while probe-ray weight entropy is <= "
-                        "this (geometry-quality gate; default: disabled)")
+                        "this. WARNING: A/B-REFUTED as a divergence gate — "
+                        "a stabilized floater field looks 'peaked', so "
+                        "entropy FALLS during divergence and the gate opens "
+                        "at ~0.57 regardless of threshold (STATUS.md); the "
+                        "occ/weight_entropy scalar is useful telemetry, this "
+                        "gate is not. Prefer sampler=auto's envelope "
+                        "routing. (default: disabled)")
     def _strict_bool(v):
         if v.lower() in ("true", "false"):
             return v.lower() == "true"
@@ -122,8 +128,9 @@ def config_from_args(argv=None):
         if tok.startswith("--") and i + 1 < len(unknown) and not unknown[i + 1].startswith("--"):
             val = " " + unknown[i + 1]
             i += 1
-        print(f"warning: ignoring flag {tok}{val} (dead in the reference, not implemented)",
-              file=sys.stderr)
+        why = ("dead in the reference too, deliberately not implemented"
+               if tok.lstrip("-") in IGNORED_FLAGS else "unknown flag")
+        print(f"warning: ignoring flag {tok}{val} ({why})", file=sys.stderr)
         i += 1
     d = vars(args)
     known = {f.name for f in __import__("dataclasses").fields(TrainConfig)}

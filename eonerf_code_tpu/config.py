@@ -113,11 +113,14 @@ class TrainConfig:
     occ_entropy_max: Optional[float] = None  # geometry-quality gate: tighten
                                          # only while the probe rays' mean
                                          # normalized weight entropy is <=
-                                         # this (occupied fraction can be
-                                         # stable on a WRONG grid; weight
-                                         # entropy cannot look surface-like
-                                         # unless geometry resolved). None
-                                         # disables the gate.
+                                         # this. A/B-REFUTED as a divergence
+                                         # gate (STATUS.md): a stabilized
+                                         # floater field looks "peaked", so
+                                         # entropy FALLS during divergence
+                                         # and the gate opens at ~0.57 for
+                                         # any threshold. Kept for telemetry
+                                         # parity; prefer sampler="auto".
+                                         # None disables the gate.
 
     # priors
     init_dsm_path: Optional[str] = None

@@ -57,7 +57,7 @@ class PallasField:
     def __init__(self, field, tile=2048, bwd_tile=1024, interpret=False,
                  vmem_limit_mb=32, mesh=None, data_axis="data",
                  trunk_quant=False, save_acts=False,
-                 save_acts_cap_mb=6144):
+                 save_acts_cap_mb=8192):
         # defaults = the measured v5e optimum (scripts/scan_pallas_tiles.py);
         # bwd_tile=1024 needs the raised scoped-vmem limit. With `mesh` the
         # kernels shard_map over `data_axis` (weights replicated, weight
@@ -106,28 +106,30 @@ class PallasField:
     def step_save_ok(self, r, k_cam, k_sc=0):
         """All-or-nothing saved-activations gate for one render step.
 
-        Returns True only when EVERY per-sample activation stream the step
-        would write (camera K = k_cam, shadow K = k_sc; 0 = no shadow pass)
-        fits the per-kernel cap. A MIXED step — one kernel saved, its
-        sibling falling back to recompute — was measured pathological
-        on-chip: bs 16384 / sc 64 ran at 3.8k rays/s vs 112k all-recompute
-        (the live stream buffer stacked on the recompute path's peak
-        workspace overflows HBM and spills through the host tunnel). The
-        renderer threads the result through the kernels' ``save_ok``."""
+        Returns True only when the SUM of every per-sample activation
+        stream the step would hold live (camera K = k_cam, shadow K = k_sc;
+        0 = no shadow pass) fits ``save_acts_cap_mb`` — both buffers live
+        from forward to backward, so the step's HBM pressure is the total,
+        not the per-kernel max. Sum <= cap implies each stream fits the
+        kernels' own per-call gate (same cap, same shared predicate
+        ``fits_saved_cap``), so a True here guarantees both kernels save: a
+        MIXED step — one kernel saved, its sibling falling back to
+        recompute — was measured pathological on-chip: bs 16384 / sc 64 ran
+        at 3.8k rays/s vs 112k all-recompute (the live stream buffer
+        stacked on the recompute path's peak workspace overflows HBM and
+        spills through the host tunnel). The renderer threads the result
+        through the kernels' ``save_ok``."""
         if not self.save_acts:
             return False
         from eonerf_code_tpu.ops.pallas.fused_render import (
-            _kpad_of,
-            _saved_bytes,
+            saved_stream_bytes,
         )
 
-        cap = self.save_acts_cap_mb * 2**20
         dtype = self.field.compute_dtype
-        if _saved_bytes(r, _kpad_of(k_cam), dtype) > cap:
-            return False
-        if k_sc and _saved_bytes(r, _kpad_of(k_sc), dtype) > cap:
-            return False
-        return True
+        total = saved_stream_bytes(r, k_cam, dtype)
+        if k_sc:
+            total += saved_stream_bytes(r, k_sc, dtype)
+        return total <= self.save_acts_cap_mb * 2**20
 
     def apply(self, params, *args, method=None):
         if method in ("radiometric", "ray_offset", "ambient"):

@@ -669,11 +669,24 @@ def _saved_bytes(r, kpad, compute_dtype):
     return r * kpad * N_TRUNK_ACTS_COLS * jnp.dtype(compute_dtype).itemsize
 
 
+def saved_stream_bytes(r, k, compute_dtype):
+    """HBM bytes one saved-activations stream (camera or shadow) holds live
+    from forward to backward, for R rays x K samples."""
+    return _saved_bytes(r, _kpad_of(k), compute_dtype)
+
+
+def fits_saved_cap(r, k, compute_dtype, cap_mb):
+    """The ONE fit predicate for the saved-activations stream — shared by
+    each kernel's internal per-call gate and PallasField.step_save_ok, so
+    the no-mixed-step guarantee can't drift out of sync between the two."""
+    return saved_stream_bytes(r, k, compute_dtype) <= cap_mb * 2**20
+
+
 def make_fused_camera(compute_dtype=jnp.bfloat16, tile_target=2048,
                       bwd_tile_target=1024, interpret=False,
                       vmem_limit_mb=64, mesh=None, data_axis="data",
                       trunk_quant=False, save_acts=False,
-                      save_acts_cap_mb=6144):
+                      save_acts_cap_mb=8192):
     """Returns camera(weights: FieldWeights, rayin (R,16), z (R,K),
     deltam (R,K)) -> acc (R, 8) with fused forward and backward.
 
@@ -803,8 +816,7 @@ def make_fused_camera(compute_dtype=jnp.bfloat16, tile_target=2048,
         if not (save_acts and allow_save):
             return False
         r, k = z_shape
-        return (_saved_bytes(r, _kpad_of(k), compute_dtype)
-                <= save_acts_cap_mb * 2**20)
+        return fits_saved_cap(r, k, compute_dtype, save_acts_cap_mb)
 
     def _make_vjp(allow_save):
         @jax.custom_vjp
@@ -843,6 +855,10 @@ def make_fused_camera(compute_dtype=jnp.bfloat16, tile_target=2048,
         all-recompute, the live stream buffer on top of the recompute
         path's peak workspace overflowing HBM into host spills. The
         per-kernel cap above still applies on top of save_ok."""
+        if not isinstance(save_ok, bool):
+            raise TypeError(
+                f"save_ok must be a static Python bool, got {type(save_ok)}; "
+                "a traced value would silently bake in one branch")
         return (camera_save if save_ok else camera_rec)(
             weights, rayin, z, deltam)
 
@@ -853,7 +869,7 @@ def make_fused_shadow(compute_dtype=jnp.bfloat16, tile_target=2048,
                       bwd_tile_target=1024, interpret=False,
                       vmem_limit_mb=64, mesh=None, data_axis="data",
                       trunk_quant=False, save_acts=False,
-                      save_acts_cap_mb=6144):
+                      save_acts_cap_mb=8192):
     """Returns shadow(weights: FieldWeights, rayin (R,16), z (R,K),
     deltam (R,K), mask (R,K)) -> geo (R,) sun visibility, fused fwd+bwd.
     rayin rows 0:3 carry the shadow-march origin (gradients flow to it —
@@ -983,8 +999,7 @@ def make_fused_shadow(compute_dtype=jnp.bfloat16, tile_target=2048,
         if not (save_acts and allow_save):
             return False
         r, k = z_shape
-        return (_saved_bytes(r, _kpad_of(k), compute_dtype)
-                <= save_acts_cap_mb * 2**20)
+        return fits_saved_cap(r, k, compute_dtype, save_acts_cap_mb)
 
     def _make_vjp(allow_save):
         @jax.custom_vjp
@@ -1019,6 +1034,10 @@ def make_fused_shadow(compute_dtype=jnp.bfloat16, tile_target=2048,
         """``save_ok``: step-level all-or-nothing gate — see
         make_fused_camera's wrapper docstring for the measured mixed-mode
         pathology it prevents."""
+        if not isinstance(save_ok, bool):
+            raise TypeError(
+                f"save_ok must be a static Python bool, got {type(save_ok)}; "
+                "a traced value would silently bake in one branch")
         return (shadow_save if save_ok else shadow_rec)(
             weights, rayin, z, deltam, mask)
 

@@ -316,6 +316,13 @@ class TestSavedActs:
         pf_big = PallasField(field, interpret=True, save_acts=True,
                              save_acts_cap_mb=int(cam_mb * 2))
         assert pf_big.step_save_ok(r, k_cam, k_sc)
+        # the gate bounds the SUM of live streams, not the per-stream max:
+        # each stream fits individually here (camera = cam_mb, shadow =
+        # cam_mb/4) but camera+shadow = 1.25*cam_mb exceeds the cap
+        pf_sum = PallasField(field, interpret=True, save_acts=True,
+                             save_acts_cap_mb=int(cam_mb * 1.1))
+        assert not pf_sum.step_save_ok(r, k_cam, k_sc)
+        assert pf_sum.step_save_ok(r, k_cam, 0)
         # camera-only step with a small camera stream -> yes
         assert pf.step_save_ok(r, k_sc, 0)
         # save_acts off -> always no
