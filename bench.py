@@ -8,6 +8,12 @@ The batch size is scanned over a small grid because the TPU operating point
 is a larger megabatch than the reference's 1024 (rays/sec is the metric;
 both are reported).
 
+Benches the framework's PRODUCTION DEFAULTS (round-4 on-chip A/B, quality
+parity verified at production scale): bwd_acts=saved, sc_n_samples=auto
+(64 at n=128). Env hooks (EONERF_BENCH_BWD_ACTS / _SC_SAMPLES / _QUANT)
+override for A/Bs; EONERF_BENCH_SC_SAMPLES=0 + _BWD_ACTS=recompute
+reproduces the round-3 operating point.
+
 Baseline: the reference publishes NO numbers (BASELINE.md). `vs_baseline`
 is computed against an ESTIMATED A100 PyTorch throughput of 10,000 rays/s
 for the same per-step work (derived from SatNeRF-class runtimes: ~300k
@@ -182,9 +188,9 @@ def main():
                           # most recent completed on-chip result of this
                           # same benchmark (see STATUS.md headline table)
                           "last_measured": {
-                              "value": 89508.0, "unit": "rays/s",
-                              "date": "2026-08-17", "device": "TPU v5 lite",
-                              "hfu": 0.537, "mfu": 0.403}}),
+                              "value": 126237.6, "unit": "rays/s",
+                              "date": "2026-08-19", "device": "TPU v5 lite",
+                              "hfu": 0.477, "mfu": 0.447}}),
               flush=True)
         os._exit(2)
 
@@ -195,12 +201,17 @@ def main():
     # operating points (kernel arithmetic only; workload identical)
     trunk_quant = {"int8": True, "int8_full": "full"}.get(
         os.environ.get("EONERF_BENCH_QUANT", "none"), False)
-    # A/B hook: EONERF_BENCH_BWD_ACTS=saved measures the saved-activations
-    # backward (stream trunk acts through HBM, skip the bwd recompute pass)
-    save_acts = os.environ.get("EONERF_BENCH_BWD_ACTS", "recompute") == "saved"
-    # A/B hook: EONERF_BENCH_SC_SAMPLES=N measures a reduced shadow-march
-    # sample count (0 = follow n_samples, the reference's rule)
-    sc_n_samples = int(os.environ.get("EONERF_BENCH_SC_SAMPLES", "0"))
+    # A/B hook: EONERF_BENCH_BWD_ACTS=recompute measures the flash-style
+    # backward; the default benches the production default (saved: stream
+    # trunk acts through HBM, skip the bwd recompute — round-4 on-chip A/B)
+    save_acts = os.environ.get("EONERF_BENCH_BWD_ACTS", "saved") == "saved"
+    # A/B hook: EONERF_BENCH_SC_SAMPLES=N overrides the shadow-march sample
+    # count (-1 = production auto rule -> 64 at n=128; 0 = follow n_samples,
+    # the reference's rule)
+    from eonerf_code_tpu.config import TrainConfig
+
+    sc_raw = int(os.environ.get("EONERF_BENCH_SC_SAMPLES", "-1"))
+    sc_n_samples = TrainConfig(sc_n_samples=sc_raw).resolve_sc_n_samples()
     results = {}
     train_step, params, opt_state = build_step(trunk_quant=trunk_quant,
                                                save_acts=save_acts,

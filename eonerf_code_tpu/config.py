@@ -46,14 +46,24 @@ class TrainConfig:
     n_samples: int = 128
     n_importance: int = 0                # hierarchical fine samples (dead in
                                          # the reference; implemented here)
-    sc_n_samples: int = 0                # shadow-march samples per solar ray
-                                         # (0 = follow n_samples, the
-                                         # reference's fixed rule,
-                                         # sat_rendering.py:286-298). The
+    sc_n_samples: int = -1               # shadow-march samples per solar ray.
+                                         # -1 (default) = auto:
+                                         # min(n_samples, max(n_samples//2,
+                                         # 64)) — the round-4 on-chip A/B
+                                         # point: 64 shadow samples are at
+                                         # quality parity on the production
+                                         # scene at 20k steps (MAE 0.344 vs
+                                         # sc-full 0.338 m, PSNR 24.37 vs
+                                         # 24.30) and the step runs +25%
+                                         # (111.8k vs 89.5k rays/s at
+                                         # recompute). 0 = follow n_samples
+                                         # (the reference's fixed rule,
+                                         # sat_rendering.py:286-298; the
                                          # sigma-only sun march is ~48% of
-                                         # step matmul FLOPs at parity count;
-                                         # a smaller count is a speed lever
-                                         # A/B-able via run_production_scale
+                                         # step matmul FLOPs there).
+                                         # Explicit >0 wins. The trainer
+                                         # resolves -1 to a concrete count
+                                         # before opts.json is written.
     sampler: str = "auto"                # camera-sampling strategy:
                                          #   auto         - pick from the scene's
                                          #     altitude envelope: compact ->
@@ -158,16 +168,23 @@ class TrainConfig:
                                          # in int8 (weight-scale-folded
                                          # cotangent quantization). Both
                                          # require the Pallas backend.
-    bwd_acts: str = "recompute"          # fused-kernel backward mode:
-                                         # "recompute" = flash-style in-kernel
-                                         # trunk recompute (no extra HBM);
-                                         # "saved" = the differentiated
-                                         # forward streams the trunk
-                                         # activations to HBM and the
+    bwd_acts: str = "saved"              # fused-kernel backward mode:
+                                         # "saved" (default) = the
+                                         # differentiated forward streams the
+                                         # trunk activations to HBM and the
                                          # backward reads them (skips the
                                          # recompute matmul pass; auto-falls
-                                         # back to recompute above a per-pass
-                                         # stream cap). Pallas backend only.
+                                         # back to recompute when the step's
+                                         # live streams exceed the HBM cap —
+                                         # see PallasField.step_save_ok).
+                                         # "recompute" = flash-style
+                                         # in-kernel trunk recompute (no
+                                         # extra HBM). Round-4 on-chip A/B:
+                                         # saved is +13.5% at sc-full (101.6k
+                                         # vs 89.5k rays/s) and the levers
+                                         # compose to 126.2k with the sc64
+                                         # default; gradients are parity-
+                                         # tested identical. Pallas only.
 
     def __post_init__(self):
         if self.model == "eo-nerf":
@@ -198,6 +215,18 @@ class TrainConfig:
 
     def log_dir(self):
         return os.path.join(self.logs_dir, self.exp_name)
+
+    def resolve_sc_n_samples(self):
+        """Concrete shadow-march sample count — the ONE place the -1/0
+        sentinels resolve (trainer, eval, and bench all call it). -1 = auto:
+        at least half the camera count and at least 64 (the A/B-validated
+        quality floor on the production scene; 1/3-ratio marches degrade),
+        never more than n_samples (the reference's own resolution)."""
+        if self.sc_n_samples == -1:
+            return min(self.n_samples, max(self.n_samples // 2, 64))
+        if self.sc_n_samples == 0:
+            return self.n_samples   # reference rule, sat_rendering.py:286-298
+        return self.sc_n_samples
 
     def resolved_occ_tighten_shadows(self):
         """Shadow-march tightening follows occ_tighten unless overridden —

@@ -216,7 +216,7 @@ def eval_eonerf(run_id, logs_dir, output_dir, epoch_nb=None, root_dir=None,
     dataset.all_ids_img = list(range(len(files)))
 
     rcfg = RenderConfig(n_samples=cfg.n_samples,
-                        sc_n_samples=cfg.sc_n_samples or cfg.n_samples,
+                        sc_n_samples=cfg.resolve_sc_n_samples(),
                         n_importance=cfg.n_importance,
                         occ_tighten=cfg.occ_tighten,
                         occ_tighten_shadows=cfg.resolved_occ_tighten_shadows(),

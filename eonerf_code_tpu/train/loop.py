@@ -200,8 +200,11 @@ class Trainer:
                   file=sys.stderr)
 
         # sampler selection happens BEFORE opts.json is written, so eval
-        # reloads the RESOLVED sampling configuration, never re-guesses
+        # reloads the RESOLVED sampling configuration, never re-guesses.
+        # sc_n_samples resolves AFTER the sampler (hierarchical mode rewrites
+        # n_samples, which the auto rule reads)
         self._resolve_sampler()
+        cfg.sc_n_samples = cfg.resolve_sc_n_samples()
         cfg.save(os.path.join(self.log_dir, "opts.json"))
         self.logger = MetricsLogger(self.log_dir)
 
@@ -257,7 +260,7 @@ class Trainer:
         self.render_step_size = 2.0 / cfg.n_samples
         tighten_sc = cfg.resolved_occ_tighten_shadows()
         self.rcfg = RenderConfig(n_samples=cfg.n_samples,
-                                 sc_n_samples=cfg.sc_n_samples or cfg.n_samples,
+                                 sc_n_samples=cfg.resolve_sc_n_samples(),
                                  n_importance=cfg.n_importance,
                                  occ_tighten=cfg.occ_tighten,
                                  occ_tighten_shadows=tighten_sc,

@@ -67,7 +67,8 @@ def main(workdir="/tmp/eonerf_prod", steps=20000, compute_dtype="bfloat16",
     print(f"dataset: {trainer.n_rays:,} rays, {trainer.n_images} images", flush=True)
 
     mae = None
-    for target in (int(steps) // 4, int(steps) // 2, int(steps)):
+    milestones = sorted({int(steps) // 3, 2 * int(steps) // 3, int(steps)})
+    for target in milestones:
         if target <= trainer.step:   # resumed past this milestone already
             continue
         stats = trainer.run(max_steps=target, log_every=2000)

@@ -43,8 +43,15 @@ class TestCLI:
         p = str(tmp_path / "opts.json")
         cfg.save(p)
         assert TrainConfig.load(p).sc_n_samples == 64
-        # default 0 = follow n_samples (the reference's fixed rule)
-        assert config_from_args(["--root_dir", "/r"]).sc_n_samples == 0
+        # default -1 = auto rule: min(n, max(n//2, 64)) — the round-4
+        # on-chip A/B operating point; 0 = follow n_samples (reference rule)
+        dflt = config_from_args(["--root_dir", "/r"])
+        assert dflt.sc_n_samples == -1
+        assert dflt.resolve_sc_n_samples() == 64          # n=128 -> 64
+        ref = config_from_args(["--root_dir", "/r", "--sc_n_samples", "0"])
+        assert ref.resolve_sc_n_samples() == ref.n_samples
+        # tiny camera counts never get MORE shadow samples than camera ones
+        assert TrainConfig(n_samples=32).resolve_sc_n_samples() == 32
 
     def test_subset_flag_maps(self):
         cfg = config_from_args(["--root_dir", "/r", "--subset_Nviews", "9"])
