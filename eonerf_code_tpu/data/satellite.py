@@ -309,7 +309,15 @@ class SatelliteDataset:
 
         sun_d = dir_vec_from_el_az(90 - float(d["sun_elevation"]), float(d["sun_azimuth"]))
         if not self.utm:
-            sun_d = -sun_d  # reference :497-498
+            # reference :497-498 parity (pinned by test_ecef_mode): the
+            # z-up el/az vector is merely sign-flipped, NOT rotated into
+            # the local ENU basis — geometrically wrong in an ECEF cube,
+            # which is part of why the reference's --ecef prototype is
+            # broken. Kept for training parity; the EVAL nadir sweep is
+            # fixed for real (render/nadir.py enu_frame) since a wrong
+            # camera frame corrupts the DSM itself, while a wrong sun only
+            # degrades the (prototype-mode) shading.
+            sun_d = -sun_d
         sun_dirs = np.tile(sun_d, (raw.shape[0], 1)).astype(np.float32)
         rays = np.hstack([raw, sun_dirs])
         if self.utm:

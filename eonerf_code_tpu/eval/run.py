@@ -182,7 +182,7 @@ def save_depth_priors_img(dataset, sample, external_dsm_path, out_dir,
 
 def eval_eonerf(run_id, logs_dir, output_dir, epoch_nb=None, root_dir=None,
                 img_dir=None, gt_dir=None, dsm=False, chunk=4096, dsm_resolution=None,
-                pinhole=False, data_axis=0):
+                pinhole=False, data_axis=0, nadir_frame="auto"):
     run_dir = os.path.join(logs_dir, run_id)
     cfg, field, params = load_run(run_dir, epoch_nb)
     if data_axis and data_axis != 1:
@@ -229,10 +229,20 @@ def eval_eonerf(run_id, logs_dir, output_dir, epoch_nb=None, root_dir=None,
         nadir_json = sort_views_by_incidence(dataset.scene.root_dir)[0]
         d = read_json(nadir_json)
         src_id = get_file_id(nadir_json)
+        # ECEF scenes: the cube's "up" is the local radial, not +z — build
+        # the sweep in the ENU basis at the scene center (the reference's
+        # --ecef prototype skips this and its DSM eval is geometrically
+        # broken; render/nadir.py enu_frame). nadir_frame="zup" forces the
+        # reference's broken construction (for A/B demonstration).
+        frame = None
+        if cfg.ecef and nadir_frame != "zup":
+            from eonerf_code_tpu.render.nadir import enu_frame
+
+            frame = enu_frame(dataset.scene.scene_offset)
         rays_np, h, w = nadir_rays_with_sun(
             int(d["width"]), int(d["height"]), 90.0 - float(d["sun_elevation"]),
             float(d["sun_azimuth"]), dataset.scene.scene_scale,
-            img_downscale=cfg.img_downscale, pinhole=pinhole)
+            img_downscale=cfg.img_downscale, pinhole=pinhole, frame=frame)
         rays = satrays_from_tensor(jnp.asarray(rays_np),
                                    jnp.zeros((rays_np.shape[0],), jnp.int32))
         results = render(field, params, rays, key, rcfg, shadows=True,

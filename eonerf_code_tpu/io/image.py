@@ -71,26 +71,41 @@ def scene_radiometric_scale(img_paths, cache_path=None):
 
     Returns None when the default path is already consistent (uint8 or
     float rasters: every image divides by 255 regardless of content).
-    Result is cached as JSON keyed by the image list.
+    Result is cached as JSON keyed by the image list — full paths + file
+    size + mtime, NOT basenames alone: a re-export of the same filenames
+    into another directory (different container/radiometry) must invalidate
+    the cache, or every view silently reuses the stale scale.
     """
     import json
     import os
 
     img_paths = [str(p) for p in img_paths]
-    key = [os.path.basename(p) for p in img_paths]
+    key = [[os.path.abspath(p), os.path.getsize(p),
+            int(os.path.getmtime(p) * 1000)] for p in img_paths]
     if cache_path and os.path.exists(cache_path):
         with open(cache_path) as fh:
             d = json.load(fh)
         if d.get("key") == key:
             return d["scale"]
-    # container dtype check on the first view only: uint8/float containers
-    # take the trivial /255 path for every image, no scene pass needed
-    _, int_max0 = image_payload_stats(img_paths[0])
-    if int_max0 is None or int_max0 <= 255:
+    # container dtype check on the first view only: uint8 containers take
+    # the trivial /255 path for every image, no scene pass needed. Float
+    # containers USUALLY hold the 0..255 float convention (the reference's
+    # pansharpened JAX_NEW/IARPA crops, datasets/satellite.py:163 divides
+    # by 255) — but raw-DN float exports (11-bit payloads stored as
+    # float32) would clip 60%+ of pixels to white under /255, so floats
+    # whose scene-wide max clearly exceeds that convention (>300) get the
+    # same payload-bit-depth full-scale treatment as uint16.
+    data_max0, int_max0 = image_payload_stats(img_paths[0])
+    if int_max0 is not None and int_max0 <= 255:
+        scale = None
+    elif int_max0 is None and data_max0 <= 300.0:
         scale = None
     else:
         data_max = max(image_payload_stats(p)[0] for p in img_paths)
-        scale = full_scale_for(data_max) if data_max > 1.1 else None
+        if int_max0 is None:
+            scale = full_scale_for(data_max) if data_max > 300.0 else None
+        else:
+            scale = full_scale_for(data_max) if data_max > 1.1 else None
     if cache_path:
         os.makedirs(os.path.dirname(os.path.abspath(cache_path)), exist_ok=True)
         with open(cache_path, "w") as fh:
@@ -156,6 +171,12 @@ def load_rgb_image(img_path, downscale_factor=1, scale=None):
             # toward 0. Use the smallest standard full-scale that holds the
             # data max. NOTE: per-image inference — fine standalone, but
             # multi-view datasets should pass the scene-wide `scale`.
+            img = img / full_scale_for(float(np.nanmax(img)))
+        elif int_max is None and np.nanmax(img) > 300.0:
+            # float raster far beyond the 0..255 float convention (raw-DN
+            # pansharpened export): /255 would clip most pixels to white
+            # (the reference does exactly that, datasets/satellite.py:163).
+            # Same payload full-scale rule as uint16.
             img = img / full_scale_for(float(np.nanmax(img)))
         else:
             img = img / 255.0

@@ -67,20 +67,43 @@ def virtual_pinhole_rays(w, h, focal, radius=2.0, el_deg=0.0, az_deg=0.0,
 
 
 def virtual_ortho_rays(w, h, radius=2.0, el_deg=0.0, az_deg=0.0,
-                       scene_scale=np.ones(3)):
-    """(h*w, 8) ray tensor [o, d, near, far] in the normalized frame."""
-    d = dir_vec_from_el_az(el_deg, az_deg).astype(np.float64)
+                       scene_scale=np.ones(3), frame=None):
+    """(h*w, 8) ray tensor [o, d, near, far] in the normalized frame.
+
+    ``frame``: 3x3 with COLUMNS [east, north, up] expressed in the scene's
+    world axes — identity (default) for the UTM frame, the local ENU basis
+    at the scene center for ECEF scenes (enu_frame). The el/az convention
+    is always local ENU; the frame maps it into the cube's axes. With
+    frame=None the arithmetic below reduces bit-exactly to the reference's
+    z-up construction (eval_eonerf.py:130-249)."""
+    d_enu = dir_vec_from_el_az(el_deg, az_deg).astype(np.float64)
+    if frame is None:
+        e_ax = np.array([1.0, 0.0, 0.0])
+        n_ax = np.array([0.0, 1.0, 0.0])
+        u_ax = np.array([0.0, 0.0, 1.0])
+        d = d_enu
+    else:
+        frame = np.asarray(frame, np.float64)
+        e_ax, n_ax, u_ax = frame[:, 0], frame[:, 1], frame[:, 2]
+        d = frame @ d_enu
     d = d / np.asarray(scene_scale, np.float64)
     d = d / np.linalg.norm(d)
 
-    pt_o = np.array([0.0, 0.0, -1.0])
+    pt_o = -u_ax  # "bottom" of the scene cube along local up
     pt_a = pt_o - radius * d  # center of the virtual image plane
 
-    x = (np.arange(w) - w * 0.5) / (1.0 * w / radius) + pt_a[0]
-    y = -(np.arange(h) - h * 0.5) / (1.0 * h / radius) + pt_a[1]
+    x = (np.arange(w) - w * 0.5) / (1.0 * w / radius)
+    y = -(np.arange(h) - h * 0.5) / (1.0 * h / radius)
     X, Y = np.meshgrid(x, y)
-    Z = ((-d[0] * (X - pt_a[0]) - d[1] * (Y - pt_a[1])) / d[2]) + pt_a[2]
-    origins = np.stack([X.ravel(), Y.ravel(), Z.ravel()], 1)
+    # origins vary along (east, north); each origin's up-coordinate solves
+    # the plane equation d . (origin - pt_a) = 0 — the reference's slanted
+    # image plane through pt_a (eval_eonerf.py:171-177), in ENU components
+    du, de, dn = d @ u_ax, d @ e_ax, d @ n_ax
+    U = (-de * X - dn * Y) / du
+    origins = (pt_a[None, :]
+               + X.ravel()[:, None] * e_ax[None, :]
+               + Y.ravel()[:, None] * n_ax[None, :]
+               + U.ravel()[:, None] * u_ax[None, :])
 
     dirs = np.tile(d, (origins.shape[0], 1))
     near = max(0.0, radius - 2.0)
@@ -89,20 +112,41 @@ def virtual_ortho_rays(w, h, radius=2.0, el_deg=0.0, az_deg=0.0,
     return np.hstack([origins, dirs, near * ones, far * ones]).astype(np.float32)
 
 
+def enu_frame(ecef_center):
+    """Local [east | north | up] basis (columns) at an ECEF point — the
+    frame that makes el/az conventions meaningful inside an ECEF-normalized
+    scene cube. The reference's ECEF prototype skips this rotation (its
+    eval nadir camera and sun vectors use z-up axes in the ECEF frame,
+    datasets/satellite.py:497-498 merely flips the sign), which is why its
+    --ecef DSM eval is geometrically broken; this framework fixes it."""
+    c = np.asarray(ecef_center, np.float64)
+    u = c / np.linalg.norm(c)
+    z = np.array([0.0, 0.0, 1.0])
+    e = np.cross(z, u)
+    e = e / np.linalg.norm(e)
+    n = np.cross(u, e)
+    return np.stack([e, n, u], axis=1)
+
+
 def nadir_rays_with_sun(w, h, sun_el_deg, sun_az_deg, scene_scale,
-                        img_downscale=1.0, radius=2.0, pinhole=False):
+                        img_downscale=1.0, radius=2.0, pinhole=False,
+                        frame=None):
     """(h*w, 11) nadir ray tensor incl. sun dirs (eval_eonerf.py:78-95).
 
     ``pinhole=True`` selects the perspective branch (the reference computes
-    focal = max(h, w) // downscale, eval_eonerf.py:85)."""
+    focal = max(h, w) // downscale, eval_eonerf.py:85). ``frame``: local
+    [east|north|up] basis for ECEF scenes (see virtual_ortho_rays)."""
     h = int(h // img_downscale)
     w = int(w // img_downscale)
     if pinhole:
         focal = max(h, w) // img_downscale
         rays = virtual_pinhole_rays(w, h, focal, radius=radius)
     else:
-        rays = virtual_ortho_rays(w, h, radius=radius, scene_scale=scene_scale)
+        rays = virtual_ortho_rays(w, h, radius=radius, scene_scale=scene_scale,
+                                  frame=frame)
     sun_d = dir_vec_from_el_az(sun_el_deg, sun_az_deg)
+    if frame is not None:
+        sun_d = np.asarray(frame, np.float64) @ sun_d
     sun_d = sun_d / np.asarray(scene_scale, np.float64)
     sun_d = sun_d / np.linalg.norm(sun_d)
     sun = np.tile(sun_d, (rays.shape[0], 1)).astype(np.float32)
