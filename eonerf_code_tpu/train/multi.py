@@ -18,13 +18,22 @@ CLI consumes every scene directly:
 
     python eval_eonerf.py pod0/<aoi_id> --logs_dir logs --dsm
 
-Scope notes (documented, not hidden): this path trains with uniform
-sampling (no occupancy grid). The fused Pallas kernels are available
-(`--use_pallas`, auto on for bf16+TPU+8x256) via the shard_map'ed step in
-`parallel/multi_aoi.py`; whichever backend trains is recorded in each
-scene's opts.json (occ_enabled=False, use_pallas=<as-trained>), so eval
-renders through the same backend and sampler the run trained with — the
-one-backend-per-run invariant holds here too.
+Feature parity with the single-AOI trainer (round-4): `--rpc_correction`
+(per-scene learnable ray offsets + PE annealing), `--sampler auto`
+(worst-scene envelope rule: tighten only when EVERY scene is compact,
+hierarchical otherwise — one static sampling branch serves the vmapped
+scene program), per-scene occupancy grids with the all-scenes stability
+gate, the `sc_n_samples`/`bwd_acts` production defaults, depth/shadow
+priors (`--init_dsm_paths`/`--shadow_masks_dirs`, per-scene with empty
+slots allowed — prior-less scenes see neutral sentinels in one static
+program), and pod resume (`--resume` + `--save_freq`, bit-exact vs an
+uninterrupted run). The fused
+Pallas kernels are available (`--use_pallas`, auto on for bf16+TPU+8x256)
+via the shard_map'ed step in `parallel/multi_aoi.py`; the RESOLVED
+configuration (sampler, occ flags, sc count, backend) is recorded in each
+scene's opts.json and the occupancy state + tighten_active sidecar in each
+scene's checkpoint, so eval renders through the same backend and sampler
+the run trained with — the one-backend-per-run invariant holds here too.
 """
 
 import argparse
@@ -35,6 +44,19 @@ import time
 
 def _split(s):
     return [x for x in (s or "").split(",") if x]
+
+
+def _split_keep(s, n, flag):
+    """Comma-split preserving EMPTY slots (scene without this input), e.g.
+    --init_dsm_paths dsmA.tif,,dsmC.tif for 3 scenes. Returns [None]*n when
+    the flag is unset."""
+    if not s:
+        return [None] * n
+    out = [x.strip() or None for x in s.split(",")]
+    if len(out) != n:
+        raise SystemExit(f"error: {flag} must have one (possibly empty) "
+                         f"entry per scene ({len(out)} given, {n} scenes)")
+    return out
 
 
 def parse_args(argv=None):
@@ -66,9 +88,39 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=1024,
                    help="rays per step PER SCENE")
     p.add_argument("--n_samples", type=int, default=64)
-    p.add_argument("--sc_n_samples", type=int, default=0,
-                   help="shadow-march samples per solar ray (0 = follow "
-                        "--n_samples)")
+    p.add_argument("--sc_n_samples", type=int, default=-1,
+                   help="shadow-march samples per solar ray (-1 = auto: "
+                        "min(n, max(n//2, 64)), the on-chip A/B point; "
+                        "0 = follow --n_samples)")
+    p.add_argument("--n_importance", type=int, default=0,
+                   help="hierarchical fine samples per ray (sampler="
+                        "hierarchical sets the validated shape itself)")
+    p.add_argument("--sampler", type=str, default="auto",
+                   choices=["auto", "uniform", "tighten", "hierarchical"],
+                   help="camera sampling mode. auto resolves from the WORST "
+                        "scene's altitude envelope (every scene compact -> "
+                        "occupancy tightening, any wide scene -> "
+                        "hierarchical for ALL — one static sampling branch "
+                        "serves the vmapped scene program)")
+    p.add_argument("--occ_tighten_start_step", type=int, default=2000)
+    p.add_argument("--n_grid", type=int, default=64,
+                   help="occupancy grid resolution per scene")
+    p.add_argument("--rpc_correction", action="store_true", default=False,
+                   help="learnable per-image ray-bundle offsets per scene "
+                        "(RPC bundle adjustment; combine with "
+                        "--freq_reg_end_step for convergence)")
+    p.add_argument("--init_dsm_paths", type=str, default="",
+                   help="comma-separated per-scene external DSMs for the "
+                        "depth-prior loss; leave a slot EMPTY for scenes "
+                        "without one (e.g. a.tif,,c.tif) — mixed scenes "
+                        "train in one program, prior-less scenes see "
+                        "neutral sentinels")
+    p.add_argument("--init_conf_paths", type=str, default="",
+                   help="comma-separated per-scene SGM confidence rasters "
+                        "(optional, same empty-slot rule)")
+    p.add_argument("--shadow_masks_dirs", type=str, default="",
+                   help="comma-separated per-scene shadow-mask dirs for the "
+                        "shadow-prior loss (same empty-slot rule)")
     p.add_argument("--fc_layers", type=int, default=8)
     p.add_argument("--fc_units", type=int, default=256)
     p.add_argument("--lr", type=float, default=5e-4)
@@ -84,13 +136,27 @@ def parse_args(argv=None):
                    choices=["auto", "true", "false"],
                    help="fused Pallas kernels (shard_map'ed step; auto = on "
                         "for bf16 on TPU with the 8x256 architecture)")
-    p.add_argument("--bwd_acts", type=str, default="recompute",
+    p.add_argument("--bwd_acts", type=str, default="saved",
                    choices=["recompute", "saved"],
-                   help="fused-kernel backward mode (see train_eonerf.py)")
+                   help="fused-kernel backward mode (see train_eonerf.py; "
+                        "saved is the measured-faster production default)")
     p.add_argument("--freq_reg_end_step", type=int, default=0,
                    help="BARF-style coarse-to-fine PE annealing ramp end "
                         "(0 = off; see train_eonerf.py)")
     p.add_argument("--freq_reg_start_step", type=int, default=0)
+    p.add_argument("--save_freq", type=int, default=0,
+                   help="pod-checkpoint every N steps into "
+                        "<logs>/<exp>/_pod/ckpts (stacked params + opt + "
+                        "occ + step; 0 = final checkpoint only). Per-scene "
+                        "eval-contract run dirs are always written at the "
+                        "end of the run")
+    p.add_argument("--resume", action="store_true", default=False,
+                   help="resume from the latest pod checkpoint under "
+                        "<logs>/<exp>/_pod if one exists (fresh start "
+                        "otherwise — safe to pass unconditionally, e.g. "
+                        "under scripts/supervise.py restarts). RNG keys "
+                        "derive from (seed, step), so a resumed run is "
+                        "bit-identical to an uninterrupted one")
     return p.parse_args(argv)
 
 
@@ -122,9 +188,17 @@ def main_multi_train(argv=None):
         raise SystemExit(f"error: duplicate AOI run names {aois}; "
                          "disambiguate with --aoi_ids")
 
-    datasets = [SatelliteDataset(r, i, split="train")
-                for r, i in zip(roots, imgs)]
-    n_scenes = len(datasets)
+    n_scenes = len(roots)
+    dsm_paths = _split_keep(args.init_dsm_paths, n_scenes, "--init_dsm_paths")
+    conf_paths = _split_keep(args.init_conf_paths, n_scenes,
+                             "--init_conf_paths")
+    mask_dirs = _split_keep(args.shadow_masks_dirs, n_scenes,
+                            "--shadow_masks_dirs")
+    datasets = [SatelliteDataset(r, i, split="train",
+                                 prior_dsm_path=dp, prior_conf_path=cp,
+                                 shadow_masks_dir=md)
+                for r, i, dp, cp, md in zip(roots, imgs, dsm_paths,
+                                            conf_paths, mask_dirs)]
 
     n_dev = len(jax.devices())
     scene_ax = args.scene_axis or (n_scenes if n_dev % n_scenes == 0 else 1)
@@ -140,8 +214,46 @@ def main_multi_train(argv=None):
                       and args.fc_layers == 8 and args.fc_units == 256)
     else:
         use_pallas = args.use_pallas == "true"
-    tr = MultiAOITrainer(datasets, mesh, n_samples=args.n_samples,
-                         sc_n_samples=args.sc_n_samples,
+
+    # ---- sampler resolution (single-AOI semantics, worst-scene rule) ----
+    # One static sampling branch serves the whole vmapped scene program, so
+    # `auto` resolves from the WORST scene's altitude envelope: tightening
+    # only when EVERY scene is compact (it reproducibly diverges on wide
+    # envelopes — STATUS.md round 2), hierarchical for all otherwise.
+    # Explicit --n_importance forces hierarchical, matching the single-AOI
+    # resolver's explicit-flags-win rule (train/loop.py _resolve_sampler).
+    sampler = args.sampler
+    n_samples, n_importance = args.n_samples, args.n_importance
+    if n_importance > 0 and sampler in ("auto", "hierarchical"):
+        sampler = "hierarchical"
+    elif sampler == "auto":
+        envelopes = [d.alt_envelope() for d in datasets]
+        widest = max(hi - lo for lo, hi in envelopes)
+        sampler = "tighten" if widest <= 60.0 else "hierarchical"
+        print(f"sampler=auto -> {sampler} (widest envelope {widest:.0f} m "
+              f"over {n_scenes} scenes)", flush=True)
+    if sampler == "hierarchical" and n_importance == 0:
+        # the validated wide-envelope shape: 3/4 coarse + half-of-coarse fine
+        n_samples = max((3 * n_samples) // 4, 8)
+        n_importance = max(n_samples // 2, 4)
+    occ_tighten = sampler == "tighten"
+    sc_n = TrainConfig(n_samples=n_samples,
+                       sc_n_samples=args.sc_n_samples).resolve_sc_n_samples()
+    if args.rpc_correction and args.freq_reg_end_step <= 0:
+        import sys
+
+        print("warning: --rpc_correction without --freq_reg_end_step — "
+              "joint camera refinement usually needs coarse-to-fine PE "
+              "annealing to converge (see train_eonerf.py's warning)",
+              file=sys.stderr)
+
+    tr = MultiAOITrainer(datasets, mesh, n_samples=n_samples,
+                         sc_n_samples=sc_n,
+                         n_importance=n_importance,
+                         occ_enabled=occ_tighten, occ_tighten=occ_tighten,
+                         occ_tighten_start_step=args.occ_tighten_start_step,
+                         n_grid=args.n_grid,
+                         rpc_correction=args.rpc_correction,
                          batch_size=args.batch_size, lr=args.lr,
                          net_depth=args.fc_layers, net_width=args.fc_units,
                          seed=args.seed, compute_dtype=dtype,
@@ -158,17 +270,31 @@ def main_multi_train(argv=None):
         first_shadow = args.first_shadow_step
 
     exp_dir = os.path.join(args.logs_dir, args.exp_name)
+    pod_dir = os.path.join(exp_dir, "_pod")
+    if args.resume:
+        from eonerf_code_tpu.train.checkpoints import latest_checkpoint
+
+        latest = latest_checkpoint(pod_dir)
+        if latest is not None:
+            tr.restore_pod(latest)
+            print(f"resumed pod from {latest} (step {tr.step})", flush=True)
     loggers = [MetricsLogger(os.path.join(exp_dir, a)) for a in aois]
 
     t0 = time.time()
-    done = 0
+    done = tr.step
     while done < args.max_train_steps:
         shadows = done >= first_shadow
         until = args.max_train_steps if shadows else min(
             first_shadow, args.max_train_steps)
         n = min(args.log_every, until - done)
+        if args.save_freq > 0:
+            r = done % args.save_freq
+            n = min(n, args.save_freq - r if r else args.save_freq)
         losses = tr.train_steps(n, shadows=shadows)
         done += n
+        if args.save_freq > 0 and done % args.save_freq == 0 \
+                and done < args.max_train_steps:
+            tr.save_pod(pod_dir)
         vals = np.asarray(losses)
         for lg, v in zip(loggers, vals):
             lg.scalar("train/loss", float(v), done)
@@ -176,8 +302,12 @@ def main_multi_train(argv=None):
               f"losses={[round(float(v), 4) for v in vals]}", flush=True)
 
     elapsed = time.time() - t0
+    # final pod checkpoint: a later --resume with a larger --max_train_steps
+    # extends the run from here (and supervise.py restarts land here too)
+    tr.save_pod(pod_dir)
     # one run dir per scene, in the single-AOI contract: opts.json +
     # ckpts/epoch=<steps>/{params, step} -> eval_eonerf.py works per scene
+    tighten_active = tr.occ_gate_open()
     for i, (aoi, root, img) in enumerate(zip(aois, roots, imgs)):
         cfg = TrainConfig(
             root_dir=root, img_dir=img, gt_dir=(gts[i] if gts else None),
@@ -187,16 +317,35 @@ def main_multi_train(argv=None):
             logs_dir=exp_dir, exp_name=aoi,
             aoi_id=(aoi if explicit_aois else None),
             batch_size=args.batch_size, max_train_steps=args.max_train_steps,
-            n_samples=args.n_samples, net_depth=args.fc_layers,
+            n_samples=n_samples, n_importance=n_importance,
+            sc_n_samples=sc_n, sampler=sampler,
+            net_depth=args.fc_layers,
             net_width=args.fc_units, lr=args.lr, seed=args.seed,
             compute_dtype=args.compute_dtype,
-            occ_enabled=False, occ_tighten=False, use_pallas=use_pallas,
+            rpc_correction=args.rpc_correction,
+            init_dsm_path=dsm_paths[i], init_conf_path=conf_paths[i],
+            shadow_masks_dir=mask_dirs[i],
+            freq_reg_start_step=args.freq_reg_start_step,
+            freq_reg_end_step=args.freq_reg_end_step,
+            occ_enabled=occ_tighten, occ_tighten=occ_tighten,
+            occ_tighten_start_step=args.occ_tighten_start_step,
+            n_grid=args.n_grid, use_pallas=use_pallas,
             bwd_acts=args.bwd_acts)
         run_dir = cfg.log_dir()
         cfg.save(os.path.join(run_dir, "opts.json"))
-        save_checkpoint(run_dir, args.max_train_steps,
-                        {"params": jax.device_get(tr.scene_params(i)),
-                         "step": args.max_train_steps})
+        state = {"params": jax.device_get(tr.scene_params(i)),
+                 "step": args.max_train_steps}
+        occ_state = tr.scene_occ_state(i)
+        if occ_state is not None:
+            state["occ"] = occ_state
+        ckpt_path = save_checkpoint(run_dir, args.max_train_steps, state)
+        if occ_tighten:
+            # single-AOI sidecar contract (train/loop.py save): eval must
+            # know whether tightened sampling was ACTIVE at this checkpoint
+            with open(os.path.join(ckpt_path, "occ_sampling.json"), "w") as f:
+                json.dump({"tighten_active": tighten_active,
+                           "occ_frac_hist": [float(h[i])
+                                             for h in tr._occ_frac_hist]}, f)
         loggers[i].close()
 
     rays = n_scenes * args.batch_size * args.max_train_steps
