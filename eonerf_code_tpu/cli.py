@@ -117,8 +117,14 @@ def build_parser():
                    help="train steps scanned inside one jit dispatch")
     g.add_argument("--val_freq", type=int, default=None)
     g.add_argument("--save_freq", type=int, default=None)
-    g.add_argument("--device_eval", action="store_true", default=False,
-                   help="registered DSM MAE fully on device")
+    g.add_argument("--device_eval", action="store_true", default=None,
+                   help="force the registered DSM MAE fully on device "
+                        "(failures raise). Default: auto — in-training "
+                        "validation uses the device path with a host "
+                        "fallback; final eval artifacts stay host-side")
+    g.add_argument("--no_device_eval", dest="device_eval",
+                   action="store_false",
+                   help="force the host GeoTIFF MAE path everywhere")
     return p
 
 

@@ -140,8 +140,21 @@ class TrainConfig:
     depth_weight_decay: float = 0.8      # per epoch
 
     # evaluation
-    device_eval: bool = False            # compute the registered DSM MAE on
-                                         # device (no host round trips)
+    device_eval: Optional[bool] = None   # registered DSM MAE on device (no
+                                         # host round trips). None (default)
+                                         # = auto: the IN-TRAINING validation
+                                         # MAE uses the device path when GT
+                                         # is present, falling back to the
+                                         # host GeoTIFF path on any load/
+                                         # shape failure; final eval
+                                         # artifacts (eval/run.py) stay on
+                                         # the host path. True forces device
+                                         # (failures raise); False forces
+                                         # host. Cross-check: device 2.002 m
+                                         # vs host 2.005 m on the same run
+                                         # (tests/test_device_eval.py,
+                                         # tolerance 0.05 m + same-pyramid
+                                         # registration semantics).
     # eval cadence (None -> reference rule: steps per epoch / 4x)
     val_freq: Optional[int] = None
     save_freq: Optional[int] = None

@@ -47,10 +47,19 @@ def make_render_field(field, cfg, mesh=None):
         return field
     quant = {"int8": True, "int8_full": "full"}.get(
         getattr(cfg, "trunk_quant", "none"), False)
+    save_acts = getattr(cfg, "bwd_acts", "recompute") == "saved"
+    if quant and save_acts:
+        # the saved-activations stream is bf16/f32-only (the int8 kernels
+        # were measured slower and never grew a saved path); the bwd_acts
+        # default is "saved", so an int8 experiment must not crash — fall
+        # back to the recompute backward it was measured with
+        print("trunk_quant=int8: bwd_acts=saved unsupported, "
+              "falling back to recompute", flush=True)
+        save_acts = False
     return PallasField(field, mesh=mesh,
                        interpret=jax.default_backend() == "cpu",
                        trunk_quant=quant,
-                       save_acts=getattr(cfg, "bwd_acts", "recompute") == "saved")
+                       save_acts=save_acts)
 
 
 class PallasField:

@@ -754,9 +754,27 @@ class Trainer:
         return float(mae)
 
     def _val_mae(self, sample, out):
-        if self.cfg.device_eval:
+        """In-training validation MAE. Default (device_eval=None) is the
+        DEVICE path — BASELINE.json's north star asks eval to never leave
+        the TPU, and it is ~4.5x faster (0.51 s vs 2.3 s measured, MAE
+        2.002 vs 2.005 m cross-checked) — with a host fallback on any
+        failure (missing/odd GT raster, shape mismatch). device_eval=True
+        forces device and surfaces failures; False forces host."""
+        if self.cfg.device_eval is False:
+            return self._val_mae_host(sample, out)
+        if self.cfg.device_eval is None and self.cfg.ecef:
+            # the device path's local-frame algebra (UTM-minus-offset) is
+            # WRONG in an ECEF cube without an ENU rotation — it would
+            # return a silently wrong number, not raise; auto mode takes
+            # the host path (which denormalizes through ecef_to_latlon)
+            return self._val_mae_host(sample, out)
+        try:
             return self.val_mae_device(sample, out)
-        return self._val_mae_host(sample, out)
+        except Exception:
+            if self.cfg.device_eval:  # explicitly requested: surface it
+                raise
+            self.logger.scalar("val/device_eval_fallback", 1.0, self.step)
+            return self._val_mae_host(sample, out)
 
     def _val_mae_host(self, sample, out):
         from eonerf_code_tpu.eval.dsm import compute_mae_and_save_dsm_diff
