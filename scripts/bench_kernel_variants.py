@@ -149,6 +149,94 @@ def _mm_interleaved(pos_ref, weight_refs, out_ref, nsub):
     out_ref[:] = out.astype(jnp.float32)
 
 
+def kernel_mm_merged2(pos_ref, *rest):
+    """16 chained matmuls over the tile in ONE kernel body — the slab proxy
+    for merging the camera and shadow trunk evaluations into one GEMM
+    stream per tile (VERDICT r3 item 2a): same weights stay VMEM-resident
+    across both 8-layer passes and the per-launch pipeline fill/drain is
+    amortized over 2x the work. If this runs at a materially higher
+    fraction of peak than mm_only, the step's two fused kernels should be
+    merged; if it matches mm_only, launches/weight-residency are NOT what
+    the 54-55%% ceiling is made of."""
+    weight_refs, out_ref = rest[:N_DENSITY_WEIGHTS], rest[N_DENSITY_WEIGHTS]
+    tw = [r[:] for r in weight_refs[:8]]
+    n = pos_ref.shape[0]
+    h = jnp.zeros((n, 256), DT) + pos_ref[0, 0].astype(DT)
+    for _ in range(8):          # "camera" trunk pass
+        h = jax.lax.dot_general(h, tw[1], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32).astype(DT)
+    g = h                       # "shadow" trunk pass over the same rows
+    for _ in range(8):
+        g = jax.lax.dot_general(g, tw[1], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32).astype(DT)
+    out_ref[:] = g[:, :1].astype(jnp.float32)
+
+
+def kernel_mm_merged4(pos_ref, *rest):
+    """32 chained matmuls per body — saturation probe for the merged-chain
+    effect (mm_merged2: 70.5%% vs mm_only's 54-57%%)."""
+    weight_refs, out_ref = rest[:N_DENSITY_WEIGHTS], rest[N_DENSITY_WEIGHTS]
+    tw = [r[:] for r in weight_refs[:8]]
+    n = pos_ref.shape[0]
+    h = jnp.zeros((n, 256), DT) + pos_ref[0, 0].astype(DT)
+    for _ in range(32):
+        h = jax.lax.dot_general(h, tw[1], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32).astype(DT)
+    out_ref[:] = h[:, :1].astype(jnp.float32)
+
+
+def kernel_mm_seq2(pos_ref, *rest):
+    """Two SEQUENTIAL full-row 8-chains over the tile's two row halves —
+    distinguishes the warm-up hypothesis: if a second INDEPENDENT chain in
+    the same body also runs at marginal (near-ideal) speed like merged2's
+    dependent one, every production kernel can amortize the per-body
+    warm-up by processing 2 sub-tiles per grid step, no cross-kernel
+    fusion needed. (mm_int2 interleaves the same split and was flat — but
+    it HALVES rows per matmul; this keeps full-row matmuls per chain.)"""
+    weight_refs, out_ref = rest[:N_DENSITY_WEIGHTS], rest[N_DENSITY_WEIGHTS]
+    tw = [r[:] for r in weight_refs[:8]]
+    n = pos_ref.shape[0]
+    s = n // 2
+    outs = []
+    for b in range(2):
+        h = jnp.zeros((s, 256), DT) + pos_ref[b * s, 0].astype(DT)
+        for _ in range(8):
+            h = jax.lax.dot_general(h, tw[1], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32
+                                    ).astype(DT)
+        outs.append(h[:, :1])
+    out_ref[:] = jnp.concatenate(outs, axis=0).astype(jnp.float32)
+
+
+def kernel_trunk_int2(pos_ref, *rest):
+    """The REAL trunk (PE + 8-layer chain + skip + relu + casts) over two
+    independent row blocks in one kernel body — the slab proxy for
+    cross-block VPU/MXU software pipelining (VERDICT r3 item 2b): block B's
+    transcendental PE has no data dependence on block A's matmul chain, so
+    the scheduler may overlap the VPU sin/cos (~23%% of a trunk pass,
+    STATUS round-3) with MXU work. Compare against `trunk` (same math,
+    one serial block)."""
+    weight_refs, out_ref = rest[:N_DENSITY_WEIGHTS], rest[N_DENSITY_WEIGHTS]
+    tw = [r[:] for r in weight_refs[:8]]
+    tb_ = [r[:] for r in weight_refs[8:16]]
+    sw, sb = weight_refs[16][:], weight_refs[17][:]
+    n = pos_ref.shape[0]
+    s = n // 2
+    outs = []
+    pes = [_pe64(pos_ref[i * s:(i + 1) * s].astype(jnp.float32)).astype(DT)
+           for i in range(2)]
+    hs = list(pes)
+    for i in range(8):
+        nxt = []
+        for b in range(2):
+            inp = (jnp.concatenate([hs[b], pes[b]], axis=-1)
+                   if i == 5 else hs[b])
+            nxt.append(jnp.maximum(_mm(inp, tw[i], tb_[i]), 0.0).astype(DT))
+        hs = nxt
+    outs = [_softplus(_mm(h, sw, sb)) for h in hs]
+    out_ref[:] = jnp.concatenate(outs, axis=0)
+
+
 def kernel_mm_int2(pos_ref, *rest):
     _mm_interleaved(pos_ref, rest[:N_DENSITY_WEIGHTS], rest[N_DENSITY_WEIGHTS], 2)
 
@@ -409,7 +497,11 @@ def build(variant, n, tile):
                 "mm_int4": kernel_mm_int4, "mm_i8": kernel_mm_i8,
                 "mm_i8_dyn": kernel_mm_i8_dyn,
                 "mm_f8": kernel_mm_f8, "mm_k512": kernel_mm_k512,
-                "mm_i8_k512": kernel_mm_i8_k512}[variant]
+                "mm_i8_k512": kernel_mm_i8_k512,
+                "mm_merged2": kernel_mm_merged2,
+                "mm_merged4": kernel_mm_merged4,
+                "mm_seq2": kernel_mm_seq2,
+                "trunk_int2": kernel_trunk_int2}[variant]
         n_out = 1
         kernel_args = 1
 
@@ -444,6 +536,10 @@ def flops(variant, n):
     per_pt = {"full": trunk + heads_full, "trunk": trunk + 512,
               "nope": trunk + 512, "norelu": trunk + 512,
               "nocast": trunk + 512, "mm_only": 2 * 8 * 256 * 256,
+              "mm_merged2": 2 * 16 * 256 * 256,
+              "mm_merged4": 2 * 32 * 256 * 256,
+              "mm_seq2": 2 * 8 * 256 * 256,
+              "trunk_int2": trunk + 512,
               "mm_int2": 2 * 8 * 256 * 256,
               "mm_int4": 2 * 8 * 256 * 256,
               "mm_i8": 2 * 8 * 256 * 256,
