@@ -56,7 +56,8 @@ class MultiAOITrainer:
                  sc_n_samples=0, rpc_correction=False, n_importance=0,
                  occ_enabled=False, occ_tighten=False,
                  occ_tighten_start_step=2000, occ_update_every=50,
-                 n_grid=64, occ_max_cells=65536):
+                 n_grid=64, occ_max_cells=65536,
+                 lr_decay_steps=None, lr_gamma=0.9):
         self.mesh = mesh
         self.n_scenes = len(datasets)
         assert mesh.shape["scene"] == self.n_scenes or mesh.shape["scene"] == 1 or \
@@ -104,7 +105,17 @@ class MultiAOITrainer:
             for i in range(self.n_scenes)
         ]
         self.params = stack_params(params_list)
-        self.optimizer = optax.adam(lr)
+        # the single-AOI trainer's StepLR schedule (train/loop.py
+        # make_lr_schedule): lr * gamma^(step // decay_every). Load-bearing
+        # for shadow-phase geometric stability at production scale (STATUS
+        # round-2: slow decay deforms geometry once shadows turn on).
+        # Constant lr when lr_decay_steps is None (previous behavior). The
+        # schedule count lives in opt_state, so pod resume keeps it.
+        if lr_decay_steps:
+            self._lr_fn = lambda step: lr * lr_gamma ** (step // lr_decay_steps)
+        else:
+            self._lr_fn = lambda step: lr
+        self.optimizer = optax.adam(learning_rate=self._lr_fn)
         self.opt_state = jax.vmap(self.optimizer.init)(self.params)
 
         n_max = max(d.all_rays.shape[0] for d in datasets)
@@ -319,6 +330,10 @@ class MultiAOITrainer:
         # tests/test_multi_aoi_parity.py).
         self._base_key = jax.random.fold_in(key, 10_000)
         self.step = 0
+
+    def lr_at(self, step):
+        """The optimizer's actual learning rate at a step (for logging)."""
+        return float(self._lr_fn(step))
 
     def _pe_mask(self, step):
         """(latent,) coarse-to-fine mask for this step; all-ones when

@@ -124,6 +124,9 @@ def parse_args(argv=None):
     p.add_argument("--fc_layers", type=int, default=8)
     p.add_argument("--fc_units", type=int, default=256)
     p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--lr_decay_steps", type=int, default=None,
+                   help="StepLR decay interval (lr *= 0.9 every N steps — "
+                        "the single-AOI schedule; default: constant lr)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
@@ -255,6 +258,7 @@ def main_multi_train(argv=None):
                          n_grid=args.n_grid,
                          rpc_correction=args.rpc_correction,
                          batch_size=args.batch_size, lr=args.lr,
+                         lr_decay_steps=args.lr_decay_steps,
                          net_depth=args.fc_layers, net_width=args.fc_units,
                          seed=args.seed, compute_dtype=dtype,
                          use_pallas=use_pallas, bwd_acts=args.bwd_acts,
@@ -320,7 +324,8 @@ def main_multi_train(argv=None):
             n_samples=n_samples, n_importance=n_importance,
             sc_n_samples=sc_n, sampler=sampler,
             net_depth=args.fc_layers,
-            net_width=args.fc_units, lr=args.lr, seed=args.seed,
+            net_width=args.fc_units, lr=args.lr,
+            lr_decay_steps=args.lr_decay_steps, seed=args.seed,
             compute_dtype=args.compute_dtype,
             rpc_correction=args.rpc_correction,
             init_dsm_path=dsm_paths[i], init_conf_path=conf_paths[i],

@@ -267,6 +267,33 @@ class TestMultiAOIPriors:
         assert cfg1.init_dsm_path is None and cfg1.shadow_masks_dir is None
 
 
+class TestMultiAOILrSchedule:
+    def test_step_lr_schedule(self, compact_scene_dirs):
+        """--lr_decay_steps engages the single-AOI StepLR rule
+        (lr * 0.9^(step // N)); the schedule count rides opt_state so pod
+        resume keeps it."""
+        from eonerf_code_tpu.data.satellite import SatelliteDataset
+        from eonerf_code_tpu.parallel.mesh import make_mesh
+        from eonerf_code_tpu.parallel.multi_aoi import MultiAOITrainer
+
+        infos = compact_scene_dirs
+        datasets = [SatelliteDataset(i["root_dir"], i["img_dir"],
+                                     split="train") for i in infos]
+        mesh = make_mesh(n_data=4, n_scene=2)
+        tr = MultiAOITrainer(datasets, mesh, n_samples=8, batch_size=32,
+                             net_depth=2, net_width=32, lr=1e-3,
+                             lr_decay_steps=2)
+        assert tr.lr_at(0) == pytest.approx(1e-3)
+        assert tr.lr_at(2) == pytest.approx(9e-4)
+        assert tr.lr_at(5) == pytest.approx(8.1e-4)
+        losses = tr.train_steps(3)
+        assert np.isfinite(np.asarray(losses)).all()
+        # default: constant lr (previous behavior)
+        tr2 = MultiAOITrainer(datasets, mesh, n_samples=8, batch_size=32,
+                              net_depth=2, net_width=32, lr=1e-3)
+        assert tr2.lr_at(10_000) == pytest.approx(1e-3)
+
+
 class TestMultiAOIResume:
     def test_resume_bit_exact_vs_uninterrupted(self, compact_scene_dirs,
                                                tmp_path):
