@@ -205,6 +205,14 @@ def main():
     # backward; the default benches the production default (saved: stream
     # trunk acts through HBM, skip the bwd recompute — round-4 on-chip A/B)
     save_acts = os.environ.get("EONERF_BENCH_BWD_ACTS", "saved") == "saved"
+    if trunk_quant and save_acts:
+        # same fallback as models/fused.make_render_field: the int8 kernels
+        # have no saved-activations path, and the bwd_acts default is now
+        # "saved" — the documented EONERF_BENCH_QUANT=int8 A/B must not
+        # crash (and the HFU FLOP count must match what actually runs)
+        print("trunk_quant=int8: bwd_acts=saved unsupported, "
+              "falling back to recompute", flush=True)
+        save_acts = False
     # A/B hook: EONERF_BENCH_SC_SAMPLES=N overrides the shadow-march sample
     # count (-1 = production auto rule -> 64 at n=128; 0 = follow n_samples,
     # the reference's rule)

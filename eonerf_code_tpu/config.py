@@ -239,6 +239,10 @@ class TrainConfig:
             return min(self.n_samples, max(self.n_samples // 2, 64))
         if self.sc_n_samples == 0:
             return self.n_samples   # reference rule, sat_rendering.py:286-298
+        if self.sc_n_samples < 0:
+            raise ValueError(
+                f"sc_n_samples={self.sc_n_samples}: only -1 (auto), 0 "
+                "(follow n_samples) and positive counts are valid")
         return self.sc_n_samples
 
     def resolved_occ_tighten_shadows(self):

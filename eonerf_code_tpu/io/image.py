@@ -98,9 +98,11 @@ def scene_radiometric_scale(img_paths, cache_path=None):
     data_max0, int_max0 = image_payload_stats(img_paths[0])
     if int_max0 is not None and int_max0 <= 255:
         scale = None
-    elif int_max0 is None and data_max0 <= 300.0:
-        scale = None
     else:
+        # the >300 raw-DN decision must see the SCENE-WIDE max, not the
+        # first view's: a dark first view (max < 300) must not commit the
+        # whole scene to /255 while brighter views clip white — and the
+        # answer must not depend on roster order.
         data_max = max(image_payload_stats(p)[0] for p in img_paths)
         if int_max0 is None:
             scale = full_scale_for(data_max) if data_max > 300.0 else None

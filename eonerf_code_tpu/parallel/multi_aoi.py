@@ -436,7 +436,10 @@ class MultiAOITrainer:
         from eonerf_code_tpu.train import checkpoints as ckpt_lib
 
         path = ckpt_lib.save_checkpoint(pod_dir, self.step, self.state_pytree())
-        with open(os.path.join(path, "occ_sampling.json"), "w") as f:
+        # pod-level gate history is PER SCENE (list of (n_scenes,) rows) —
+        # a different schema from the single-AOI occ_sampling.json, so it
+        # lives under its own filename to keep the two contracts distinct
+        with open(os.path.join(path, "pod_occ_sampling.json"), "w") as f:
             json.dump({"occ_frac_hist": [np.asarray(h).tolist()
                                          for h in self._occ_frac_hist],
                        "tighten_active": self.occ_gate_open()}, f)
@@ -462,7 +465,11 @@ class MultiAOITrainer:
                                     self.scene_sharding),
                 binaries=jax.device_put(restored["occ"]["binaries"],
                                         self.scene_sharding))
-        sidecar = os.path.join(path, "occ_sampling.json")
+        sidecar = os.path.join(path, "pod_occ_sampling.json")
+        if not os.path.exists(sidecar):
+            # pre-rename pod checkpoints stored the same schema under the
+            # single-AOI sidecar name
+            sidecar = os.path.join(path, "occ_sampling.json")
         if os.path.exists(sidecar):
             with open(sidecar) as f:
                 side = json.load(f)

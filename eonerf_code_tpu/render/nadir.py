@@ -39,7 +39,7 @@ def pose_spherical(theta_deg, phi_deg, radius):
 
 
 def virtual_pinhole_rays(w, h, focal, radius=2.0, el_deg=0.0, az_deg=0.0,
-                         near=None, far=None, pixel_center=0.5):
+                         near=None, far=None, pixel_center=0.5, frame=None):
     """(h*w, 8) perspective ray tensor [o, d, near, far] in the normalized
     frame (the reference's dormant pinhole branch, eval_eonerf.py:166-179).
 
@@ -48,6 +48,11 @@ def virtual_pinhole_rays(w, h, focal, radius=2.0, el_deg=0.0, az_deg=0.0,
     UNNORMALIZED directions, reaching up to |d|x the span for oblique
     pixels. Since the branch is hardcoded off in the reference (no output
     to match) the well-defined metric convention wins.
+
+    ``frame``: 3x3 with COLUMNS [east, north, up] in the scene's world axes
+    (see virtual_ortho_rays). pose_spherical builds the camera in a local
+    z-up frame; origins and directions are rotated by ``frame`` so ECEF
+    scenes get the same consistent ENU geometry as the ortho branch.
     """
     c2w = pose_spherical(az_deg, el_deg, radius)
     x, y = np.meshgrid(np.arange(w, dtype=np.float64) + pixel_center,
@@ -58,6 +63,10 @@ def virtual_pinhole_rays(w, h, focal, radius=2.0, el_deg=0.0, az_deg=0.0,
     dirs = (cam_dirs[..., None, :] * c2w[None, None, :3, :3]).sum(axis=-1)
     dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
     origins = np.broadcast_to(c2w[:3, -1], dirs.shape)
+    if frame is not None:
+        frame = np.asarray(frame, np.float64)
+        dirs = dirs @ frame.T
+        origins = origins @ frame.T
     near = max(0.0, radius - 2.0) if near is None else near
     far = near + 2.5 if far is None else far
     o = origins.reshape(-1, 3)
@@ -123,7 +132,13 @@ def enu_frame(ecef_center):
     u = c / np.linalg.norm(c)
     z = np.array([0.0, 0.0, 1.0])
     e = np.cross(z, u)
-    e = e / np.linalg.norm(e)
+    e_norm = np.linalg.norm(e)
+    if e_norm < 1e-9:
+        # scene center on the rotation axis: "east" is ill-defined; any
+        # orthonormal pair completes the basis (pick +y for determinism)
+        e = np.array([0.0, 1.0, 0.0])
+    else:
+        e = e / e_norm
     n = np.cross(u, e)
     return np.stack([e, n, u], axis=1)
 
@@ -140,7 +155,7 @@ def nadir_rays_with_sun(w, h, sun_el_deg, sun_az_deg, scene_scale,
     w = int(w // img_downscale)
     if pinhole:
         focal = max(h, w) // img_downscale
-        rays = virtual_pinhole_rays(w, h, focal, radius=radius)
+        rays = virtual_pinhole_rays(w, h, focal, radius=radius, frame=frame)
     else:
         rays = virtual_ortho_rays(w, h, radius=radius, scene_scale=scene_scale,
                                   frame=frame)

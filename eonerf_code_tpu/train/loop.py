@@ -344,7 +344,9 @@ class Trainer:
                 cfg.occ_tighten = True
         elif mode == "hierarchical":
             # the validated wide-envelope configuration shape: 3/4 coarse
-            # samples + half-of-coarse importance samples (48+32 at n=64)
+            # samples + half-of-coarse importance samples (48+24 at n=64;
+            # explicit --n_importance, e.g. the imp48+32 A/B arm, wins
+            # above and skips this reshape)
             cfg.n_samples = max((3 * cfg.n_samples) // 4, 8)
             cfg.n_importance = max(cfg.n_samples // 2, 4)
         elif mode != "uniform":
@@ -392,7 +394,7 @@ class Trainer:
 
             with open(sidecar) as f:
                 side = _json.load(f)
-            self._occ_frac_hist = [float(x) for x in side["frac_hist"]]
+            self._occ_frac_hist = [float(x) for x in side.get("frac_hist", [])]
             self._entropy_hist = [float(x)
                                   for x in side.get("entropy_hist", [])]
 
@@ -762,11 +764,18 @@ class Trainer:
         forces device and surfaces failures; False forces host."""
         if self.cfg.device_eval is False:
             return self._val_mae_host(sample, out)
-        if self.cfg.device_eval is None and self.cfg.ecef:
+        if self.cfg.ecef:
             # the device path's local-frame algebra (UTM-minus-offset) is
             # WRONG in an ECEF cube without an ENU rotation — it would
-            # return a silently wrong number, not raise; auto mode takes
-            # the host path (which denormalizes through ecef_to_latlon)
+            # return a silently wrong number, not raise. Auto mode takes
+            # the host path (which denormalizes through ecef_to_latlon);
+            # forcing --device_eval must not buy a wrong answer either.
+            if self.cfg.device_eval:
+                raise ValueError(
+                    "device_eval=True is unsupported for ECEF runs: the "
+                    "device MAE path assumes a UTM local frame and would "
+                    "silently return wrong altitudes; drop --device_eval "
+                    "(auto mode uses the host path for ECEF)")
             return self._val_mae_host(sample, out)
         try:
             return self.val_mae_device(sample, out)

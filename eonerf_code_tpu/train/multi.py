@@ -227,12 +227,16 @@ def main_multi_train(argv=None):
     # resolver's explicit-flags-win rule (train/loop.py _resolve_sampler).
     sampler = args.sampler
     n_samples, n_importance = args.n_samples, args.n_importance
-    if n_importance > 0 and sampler in ("auto", "hierarchical"):
+    if n_importance > 0:
+        # explicit flag wins over any sampler string, exactly as the
+        # single-AOI resolver orders it — the recorded sampler must always
+        # name what the program actually runs
         sampler = "hierarchical"
     elif sampler == "auto":
         envelopes = [d.alt_envelope() for d in datasets]
         widest = max(hi - lo for lo, hi in envelopes)
-        sampler = "tighten" if widest <= 60.0 else "hierarchical"
+        env_max = TrainConfig().occ_tighten_max_envelope_m  # shared policy
+        sampler = "tighten" if widest <= env_max else "hierarchical"
         print(f"sampler=auto -> {sampler} (widest envelope {widest:.0f} m "
               f"over {n_scenes} scenes)", flush=True)
     if sampler == "hierarchical" and n_importance == 0:
@@ -286,6 +290,7 @@ def main_multi_train(argv=None):
 
     t0 = time.time()
     done = tr.step
+    start_step = done
     while done < args.max_train_steps:
         shadows = done >= first_shadow
         until = args.max_train_steps if shadows else min(
@@ -345,17 +350,24 @@ def main_multi_train(argv=None):
             state["occ"] = occ_state
         ckpt_path = save_checkpoint(run_dir, args.max_train_steps, state)
         if occ_tighten:
-            # single-AOI sidecar contract (train/loop.py save): eval must
-            # know whether tightened sampling was ACTIVE at this checkpoint
+            # single-AOI sidecar contract (train/loop.py save/restore):
+            # SAME keys ("frac_hist", "tighten_active"), so eval knows
+            # whether tightened sampling was ACTIVE at this checkpoint and
+            # train_eonerf.py --ckpt_path can continue the scene without
+            # re-arming the gate
             with open(os.path.join(ckpt_path, "occ_sampling.json"), "w") as f:
                 json.dump({"tighten_active": tighten_active,
-                           "occ_frac_hist": [float(h[i])
-                                             for h in tr._occ_frac_hist]}, f)
+                           "frac_hist": [float(h[i])
+                                         for h in tr._occ_frac_hist]}, f)
         loggers[i].close()
 
-    rays = n_scenes * args.batch_size * args.max_train_steps
-    stats = {"steps": args.max_train_steps, "scenes": n_scenes,
-             "elapsed_s": elapsed, "rays_per_sec": rays / max(elapsed, 1e-9),
+    # throughput over the steps THIS process ran: a resumed run's elapsed
+    # covers only its own segment (0.0 when the run was already complete)
+    steps_run = done - start_step
+    rays = n_scenes * args.batch_size * steps_run
+    stats = {"steps": args.max_train_steps, "steps_run": steps_run,
+             "scenes": n_scenes, "elapsed_s": elapsed,
+             "rays_per_sec": (rays / max(elapsed, 1e-9)) if steps_run else 0.0,
              "run_dirs": [os.path.join(exp_dir, a) for a in aois]}
     print(stats)
     return stats

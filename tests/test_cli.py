@@ -2,6 +2,7 @@
 flags are tolerated with a warning instead of crashing."""
 
 import numpy as np
+import pytest
 
 from eonerf_code_tpu.cli import build_parser, config_from_args
 
@@ -52,6 +53,10 @@ class TestCLI:
         assert ref.resolve_sc_n_samples() == ref.n_samples
         # tiny camera counts never get MORE shadow samples than camera ones
         assert TrainConfig(n_samples=32).resolve_sc_n_samples() == 32
+        # only -1/0 are sentinels: other negatives fail loudly at resolve
+        # time instead of flowing into the shadow-march shape math
+        with pytest.raises(ValueError, match="sc_n_samples"):
+            TrainConfig(sc_n_samples=-2).resolve_sc_n_samples()
 
     def test_subset_flag_maps(self):
         cfg = config_from_args(["--root_dir", "/r", "--subset_Nviews", "9"])

@@ -81,3 +81,50 @@ class TestPinholeCamera:
         assert np.allclose(o, o[0], atol=1e-7)
         np.testing.assert_allclose(np.linalg.norm(rays[:, 8:11], axis=1), 1.0,
                                    atol=1e-5)
+
+    def test_pinhole_honors_enu_frame(self):
+        """The pinhole branch must rotate the CAMERA by the ENU frame,
+        not just the sun vector — camera rays in the broken z-up basis
+        with an ENU-rotated sun is exactly the inconsistent ECEF geometry
+        the frame exists to fix."""
+        from eonerf_code_tpu.render.nadir import (
+            nadir_rays_with_sun,
+            virtual_pinhole_rays,
+        )
+
+        # a non-trivial orthonormal [e|n|u] frame (90 deg about x)
+        frame = np.array([[1.0, 0.0, 0.0],
+                          [0.0, 0.0, 1.0],
+                          [0.0, -1.0, 0.0]])
+        base = virtual_pinhole_rays(8, 8, focal=8.0, radius=2.0)
+        rot = virtual_pinhole_rays(8, 8, focal=8.0, radius=2.0, frame=frame)
+        np.testing.assert_allclose(rot[:, :3], base[:, :3] @ frame.T,
+                                   atol=1e-6)
+        np.testing.assert_allclose(rot[:, 3:6], base[:, 3:6] @ frame.T,
+                                   atol=1e-6)
+        # identity frame is a no-op
+        ident = virtual_pinhole_rays(8, 8, focal=8.0, radius=2.0,
+                                     frame=np.eye(3))
+        np.testing.assert_allclose(ident, base, atol=1e-7)
+        # end to end: camera AND sun live in the same rotated basis
+        scale = np.ones(3)
+        r0, _, _ = nadir_rays_with_sun(6, 6, 40.0, 150.0, scale, pinhole=True)
+        r1, _, _ = nadir_rays_with_sun(6, 6, 40.0, 150.0, scale, pinhole=True,
+                                       frame=frame)
+        np.testing.assert_allclose(r1[:, 3:6], r0[:, 3:6] @ frame.T,
+                                   atol=1e-6)
+        np.testing.assert_allclose(r1[:, 8:11], r0[:, 8:11] @ frame.T,
+                                   atol=1e-5)
+
+    def test_enu_frame_degenerate_at_pole(self):
+        """enu_frame at a scene center on the rotation axis (east is
+        ill-defined) must still return a finite orthonormal basis."""
+        from eonerf_code_tpu.render.nadir import enu_frame
+
+        for c in ([0.0, 0.0, 6356752.0], [0.0, 0.0, -6356752.0]):
+            f = enu_frame(c)
+            assert np.isfinite(f).all()
+            np.testing.assert_allclose(f.T @ f, np.eye(3), atol=1e-12)
+            # up stays radial
+            np.testing.assert_allclose(f[:, 2], np.asarray(c) / np.linalg.norm(c),
+                                       atol=1e-12)

@@ -147,6 +147,10 @@ class TestMultiAOISampler:
             # 4 steps, start_step 2000: the gate never opened; eval must
             # therefore sample UNTIGHTENED (single-AOI sidecar semantics)
             assert sidecar["tighten_active"] is False
+            # SAME schema as train/loop.py's sidecar ("frac_hist"), so
+            # train_eonerf.py --ckpt_path can continue the scene
+            assert "frac_hist" in sidecar
+            assert all(isinstance(x, float) for x in sidecar["frac_hist"])
             assert load_occ_grid(run_dir, cfg) is None
 
     def test_hierarchical_forced_and_shape_rule(self, compact_scene_dirs,
@@ -169,6 +173,31 @@ class TestMultiAOISampler:
         # the validated 3/4-coarse + half-fine shape (train/loop.py rule)
         assert cfg.n_samples == 12 and cfg.n_importance == 6
         assert cfg.sampler == "hierarchical" and not cfg.occ_tighten
+
+    def test_explicit_n_importance_wins_over_sampler_string(
+            self, compact_scene_dirs, tmp_path):
+        """--sampler uniform --n_importance 4: the explicit flag wins (the
+        single-AOI resolver's precedence) and the RECORDED sampler names
+        what the program actually runs — opts.json must never say "uniform"
+        while training performs importance resampling."""
+        infos = compact_scene_dirs
+        argv = ["--root_dirs", ",".join(i["root_dir"] for i in infos),
+                "--img_dirs", ",".join(i["img_dir"] for i in infos),
+                "--aoi_ids", "SYN_320,SYN_321",
+                "--logs_dir", str(tmp_path), "--exp_name", "pod_imp",
+                "--scene_axis", "2", "--data_axis", "4",
+                "--sampler", "uniform", "--n_importance", "4",
+                "--max_train_steps", "2", "--batch_size", "64",
+                "--n_samples", "16", "--fc_layers", "2", "--fc_units", "32",
+                "--first_shadow_step", str(10**9), "--log_every", "2"]
+        main_multi_train(argv)
+        from eonerf_code_tpu.config import TrainConfig
+
+        cfg = TrainConfig.load(os.path.join(
+            str(tmp_path), "pod_imp", "SYN_320", "opts.json"))
+        assert cfg.sampler == "hierarchical" and cfg.n_importance == 4
+        # explicit shape: the 3/4+half reshape must NOT apply
+        assert cfg.n_samples == 16
 
     def test_gate_opens_when_all_scenes_stable(self, compact_scene_dirs,
                                                tmp_path):
@@ -321,8 +350,18 @@ class TestMultiAOIResume:
                                  "--save_freq", "4"])
         pod_dir = os.path.join(str(tmp_path), "pod_res", "_pod")
         assert os.path.isdir(os.path.join(pod_dir, "ckpts", "epoch=4"))
-        main_multi_train(base + ["--exp_name", "pod_res",
-                                 "--max_train_steps", "8", "--resume"])
+        stats_res = main_multi_train(base + ["--exp_name", "pod_res",
+                                             "--max_train_steps", "8",
+                                             "--resume"])
+        # throughput accounting covers only the resumed segment (4 of 8
+        # steps) — resumed runs must not inflate rays_per_sec
+        assert stats_res["steps"] == 8 and stats_res["steps_run"] == 4
+        # resuming an ALREADY-COMPLETE run trains nothing and reports 0
+        stats_done = main_multi_train(base + ["--exp_name", "pod_res",
+                                              "--max_train_steps", "8",
+                                              "--resume"])
+        assert stats_done["steps_run"] == 0
+        assert stats_done["rays_per_sec"] == 0.0
 
         from eonerf_code_tpu.train.checkpoints import (
             latest_checkpoint,

@@ -108,6 +108,26 @@ class TestSceneRadiometricScale:
                               split="train")
         assert ds.radiometric_scale is None
 
+    def test_float_raw_dn_decision_is_order_independent(self, tmp_path):
+        """The raw-DN-vs-0..255-convention decision for float rasters must
+        see the SCENE-WIDE max: a dark first view (max < 300) must not
+        commit the scene to /255 while brighter views clip white — and the
+        answer must not flip with roster order."""
+        from eonerf_code_tpu.io.image import scene_radiometric_scale
+
+        dark = str(tmp_path / "dark.tif")
+        bright = str(tmp_path / "bright.tif")
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0.0, 1.0, (3, 16, 16)).astype(np.float32)
+        write_geotiff(dark, img * 299.0)
+        write_geotiff(bright, img * 1800.0)
+        assert scene_radiometric_scale([dark, bright]) == 2047.0
+        assert scene_radiometric_scale([bright, dark]) == 2047.0
+        # genuinely 0..255-convention float scenes keep the /255 path
+        conv = str(tmp_path / "conv.tif")
+        write_geotiff(conv, img * 250.0)
+        assert scene_radiometric_scale([dark, conv]) is None
+
 
 class TestMetadataQuirks:
     def test_crlf_and_blank_lines_in_split(self, scene_dir, tmp_path):
@@ -433,6 +453,25 @@ class TestIarpaRegimeFullPipeline:
         from eonerf_code_tpu.config import TrainConfig as TC
 
         assert TC.load(os.path.join(logs, "iarpa_ecef", "opts.json")).ecef is True
+
+    def test_forced_device_eval_on_ecef_raises(self, iarpa_scene, tmp_path):
+        """--device_eval on an ECEF run must raise, not return a silently
+        wrong MAE: the device path's local-frame algebra assumes UTM (auto
+        mode already routes ECEF to the host path)."""
+        from eonerf_code_tpu.config import TrainConfig
+        from eonerf_code_tpu.train.loop import Trainer
+
+        info = iarpa_scene
+        cfg = TrainConfig(
+            root_dir=info["root_dir"], img_dir=info["img_dir"],
+            gt_dir=info["gt_dir"], logs_dir=str(tmp_path / "logs"),
+            exp_name="ecef_dev", aoi_id="IARPA_901", ecef=True,
+            device_eval=True, batch_size=256, max_train_steps=2,
+            n_samples=8, net_depth=2, net_width=32, occ_enabled=False,
+            val_freq=10_000, chunk=1024, seed=0)
+        tr = Trainer(cfg)
+        with pytest.raises(ValueError, match="ECEF"):
+            tr._val_mae(None, None)
 
 
 class TestRealFormatPriors:
