@@ -224,7 +224,10 @@ def main():
     train_step, params, opt_state = build_step(trunk_quant=trunk_quant,
                                                save_acts=save_acts,
                                                sc_n_samples=sc_n_samples)
-    for bs in (4096, 8192, 16384):
+    # A/B hook: EONERF_BENCH_BS=comma-list overrides the batch grid
+    bs_grid = tuple(int(x) for x in os.environ.get(
+        "EONERF_BENCH_BS", "4096,8192,16384").split(","))
+    for bs in bs_grid:
         try:
             results[bs] = time_batch(train_step, params, opt_state, bs)
         except Exception:  # OOM on larger batches is informative, not fatal

@@ -9,7 +9,7 @@ tightening reproducibly diverges and auto resolves to HIERARCHICAL
 sampling, scripts/ab_occ_tighten.py --tall) for a reference-scale step
 count (run_IARPA.sh:14 budgets 500k steps for the IARPA AOIs; pass the
 step count to taste). Validated arm at 10k steps: auto64 (n_samples=64 ->
-48 coarse + 32 fine per the 3/4+half rule). Auto-resumes from the newest
+48 coarse + 24 fine per the 3/4-coarse + half-of-coarse rule). Auto-resumes from the newest
 checkpoint so it can run under scripts/supervise.py.
 
     python scripts/run_tall_scale.py [workdir] [steps]
