@@ -103,13 +103,21 @@ def load_occ_grid(run_dir, cfg, epoch_nb=None):
     path = (os.path.join(run_dir, "ckpts", f"epoch={epoch_nb}")
             if epoch_nb is not None else ckpt_lib.latest_checkpoint(run_dir))
     sidecar = os.path.join(path, "occ_sampling.json")
+    restored = None
     if os.path.exists(sidecar):
         import json
 
         with open(sidecar) as f:
             if not json.load(f).get("tighten_active", True):
                 return None
-    restored = ckpt_lib.restore_checkpoint(path)
+    else:
+        # sidecar lost: the checkpoint pytree carries the gate verdict
+        # (train/loop.py _gate_pytree) — the checkpoint is self-contained
+        restored = ckpt_lib.restore_checkpoint(path)
+        if "gate" in restored and not int(restored["gate"]["tighten_active"]):
+            return None
+    if restored is None:
+        restored = ckpt_lib.restore_checkpoint(path)
     if "occ" not in restored:
         return None
     from eonerf_code_tpu.ops.occupancy import OccupancyGrid

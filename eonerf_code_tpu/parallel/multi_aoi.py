@@ -420,9 +420,25 @@ class MultiAOITrainer:
     # ONE pod-level checkpoint (exp_dir/_pod/ckpts/epoch=<step>) in the same
     # orbax format the single-AOI trainer uses (train/loop.py save/restore).
 
+    # Gate history rides the pod pytree as a fixed-size tail ring so the
+    # checkpoint is self-contained without its sidecar (same rationale as
+    # train/loop.py _gate_pytree; _grids_stable only observes the last
+    # window=5 rows).
+    GATE_HIST_LEN = 8
+
+    def _gate_pytree(self):
+        ring = np.full((self.GATE_HIST_LEN, self.n_scenes), np.nan,
+                       np.float32)
+        tail = self._occ_frac_hist[-self.GATE_HIST_LEN:]
+        if tail:
+            ring[-len(tail):] = np.stack(tail)
+        return {"frac_hist": ring,
+                "n_frac": np.int32(len(self._occ_frac_hist)),
+                "tighten_active": np.int32(self.occ_gate_open())}
+
     def state_pytree(self):
         state = {"params": self.params, "opt_state": self.opt_state,
-                 "step": self.step}
+                 "step": self.step, "gate": self._gate_pytree()}
         if self.occ_grids is not None:
             state["occ"] = {"occs": self.occ_grids.occs,
                             "binaries": self.occ_grids.binaries}
@@ -454,7 +470,13 @@ class MultiAOITrainer:
 
         from eonerf_code_tpu.train import checkpoints as ckpt_lib
 
-        restored = ckpt_lib.restore_checkpoint(path, self.state_pytree())
+        try:
+            restored = ckpt_lib.restore_checkpoint(path, self.state_pytree())
+        except Exception:
+            # pre-gate pod checkpoint: retry with the old template shape
+            tmpl = self.state_pytree()
+            tmpl.pop("gate", None)
+            restored = ckpt_lib.restore_checkpoint(path, tmpl)
         self.params = jax.device_put(restored["params"], self.scene_sharding)
         self.opt_state = jax.device_put(restored["opt_state"],
                                         self.scene_sharding)
@@ -475,6 +497,12 @@ class MultiAOITrainer:
                 side = json.load(f)
             self._occ_frac_hist = [np.asarray(h, np.float32)
                                    for h in side.get("occ_frac_hist", [])]
+        elif "gate" in restored:
+            # sidecar lost: reconstruct the gate tail from the checkpoint
+            # ring — the gate (window 5) sees an identical tail
+            ring = np.asarray(restored["gate"]["frac_hist"], np.float32)
+            self._occ_frac_hist = [row for row in ring
+                                   if not np.any(np.isnan(row))]
 
     def scene_params(self, i):
         return jax.tree_util.tree_map(lambda x: x[i], self.params)

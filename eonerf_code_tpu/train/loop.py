@@ -356,9 +356,43 @@ class Trainer:
 
     # ---- checkpointing ----
 
+    # Tightening-gate state rides the checkpoint pytree as a fixed-size
+    # tail ring so a checkpoint is SELF-CONTAINED: a second process (or a
+    # resume after the sidecar file was lost) reconstructs the exact
+    # sampling behavior from the checkpoint alone. Only the tail matters —
+    # _occ_grid_stable looks at the last `window`=5 entries and _entropy_ok
+    # at the latest probe — so an 8-slot ring plus the true count loses
+    # nothing the gate can observe. The occ_sampling.json sidecar (full
+    # history, human-readable) stays authoritative when present.
+    GATE_HIST_LEN = 8
+
+    def _gate_pytree(self):
+        import numpy as _np
+
+        def ring(h):
+            a = _np.full(self.GATE_HIST_LEN, _np.nan, _np.float32)
+            tail = h[-self.GATE_HIST_LEN:]
+            if tail:
+                a[-len(tail):] = tail
+            return a
+
+        return {"frac_hist": ring(self._occ_frac_hist),
+                "entropy_hist": ring(self._entropy_hist),
+                "n_frac": _np.int32(len(self._occ_frac_hist)),
+                "tighten_active":
+                    _np.int32(self._occ_for_sampling() is not None)}
+
+    @staticmethod
+    def _gate_ring_to_list(ring):
+        import numpy as _np
+
+        a = _np.asarray(ring, dtype=_np.float32)
+        return [float(x) for x in a[~_np.isnan(a)]]
+
     def _state_pytree(self):
         state = {"params": self.params, "opt_state": self.opt_state,
-                 "step": self.step, "epoch": self.epoch}
+                 "step": self.step, "epoch": self.epoch,
+                 "gate": self._gate_pytree()}
         if self.occ_grid is not None:
             state["occ"] = {"occs": self.occ_grid.occs, "binaries": self.occ_grid.binaries}
         return state
@@ -380,7 +414,15 @@ class Trainer:
         return path
 
     def restore(self, path):
-        restored = ckpt_lib.restore_checkpoint(path, self._state_pytree())
+        try:
+            restored = ckpt_lib.restore_checkpoint(path, self._state_pytree())
+        except Exception:
+            # pre-gate checkpoint (saved before the gate rode the pytree):
+            # retry with the old template shape; the sidecar below still
+            # carries the gate state for those runs
+            tmpl = self._state_pytree()
+            tmpl.pop("gate", None)
+            restored = ckpt_lib.restore_checkpoint(path, tmpl)
         self.params = restored["params"]
         self.opt_state = restored["opt_state"]
         self.step = int(restored["step"])
@@ -397,6 +439,14 @@ class Trainer:
             self._occ_frac_hist = [float(x) for x in side.get("frac_hist", [])]
             self._entropy_hist = [float(x)
                                   for x in side.get("entropy_hist", [])]
+        elif "gate" in restored:
+            # sidecar lost: reconstruct the gate tail from the checkpoint
+            # ring — identical sampling decisions (the gate only observes
+            # the tail; see _gate_pytree)
+            self._occ_frac_hist = self._gate_ring_to_list(
+                restored["gate"]["frac_hist"])
+            self._entropy_hist = self._gate_ring_to_list(
+                restored["gate"]["entropy_hist"])
 
     # ---- training ----
 

@@ -381,6 +381,53 @@ class TestMultiAOIResume:
             for lf, lr in zip(leaves_f, leaves_r):
                 np.testing.assert_array_equal(np.asarray(lf), np.asarray(lr))
 
+    def test_pod_gate_state_is_self_contained(self, compact_scene_dirs,
+                                              tmp_path):
+        """The pod checkpoint pytree carries the per-scene gate tail ring
+        (same self-containment contract as the single-AOI trainer): losing
+        pod_occ_sampling.json changes nothing the gate can observe, and a
+        pre-gate pod checkpoint (no "gate" subtree) still restores."""
+        from eonerf_code_tpu.data.satellite import SatelliteDataset
+        from eonerf_code_tpu.parallel.mesh import make_mesh
+        from eonerf_code_tpu.parallel.multi_aoi import MultiAOITrainer
+        from eonerf_code_tpu.train.checkpoints import save_checkpoint
+
+        infos = compact_scene_dirs
+        datasets = [SatelliteDataset(i["root_dir"], i["img_dir"],
+                                     split="train") for i in infos]
+        mesh = make_mesh(n_data=4, n_scene=2)
+
+        def make():
+            return MultiAOITrainer(datasets, mesh, n_samples=8,
+                                   batch_size=32, net_depth=2, net_width=32,
+                                   occ_enabled=True, occ_tighten=True,
+                                   occ_tighten_start_step=0, n_grid=16)
+
+        tr = make()
+        tr.step = 4
+        # 7 updates, last 5 stable per scene (dyadic: ring stores f32)
+        tr._occ_frac_hist = [np.full(2, v, np.float32)
+                             for v in (0.875, 0.75, 0.5, 0.5, 0.5, 0.5, 0.5)]
+        assert tr.occ_gate_open()
+        path = tr.save_pod(str(tmp_path / "_pod"))
+        os.remove(os.path.join(path, "pod_occ_sampling.json"))
+
+        tr2 = make()
+        tr2.restore_pod(path)
+        assert tr2.step == 4
+        got = np.stack(tr2._occ_frac_hist)
+        np.testing.assert_array_equal(got, np.stack(tr._occ_frac_hist))
+        assert tr2.occ_gate_open()
+
+        # pre-gate pod checkpoint: restore falls back to the old template
+        old_state = tr.state_pytree()
+        old_state.pop("gate")
+        old_path = save_checkpoint(str(tmp_path / "_pod_old"), "old",
+                                   old_state)
+        tr3 = make()
+        tr3.restore_pod(old_path)
+        assert tr3.step == 4 and tr3._occ_frac_hist == []
+
     def test_resume_flag_without_checkpoint_starts_fresh(
             self, compact_scene_dirs, tmp_path):
         """--resume with no pod checkpoint is a fresh start (safe to pass
