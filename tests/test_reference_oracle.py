@@ -99,6 +99,7 @@ def ref():
             ("mlp", "radiance_fields.mlp"),
             ("eonerf", "radiance_fields.eonerf"),
             ("sat_dataset", "datasets.satellite"),
+            ("sat_rendering", "sat_rendering"),
             ("eval_eonerf", "eval_eonerf"),
         ]:
             before = modname not in sys.modules
@@ -431,6 +432,76 @@ class TestModelOracle:
         want = ref.eonerf.entropy_from_alphas(_t(alphas.ravel()), _t(ray_indices)).numpy()
         got = np.asarray(ray_entropy(alphas))
         np.testing.assert_allclose(got, want[:, 0], rtol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# sat_rendering.py sampler + sat_utils scaling helpers
+# ---------------------------------------------------------------------------
+
+
+class TestSamplerOracle:
+    def test_satnerf_sampling_layout(self, ref):
+        """Deterministic (perturb=False) z-interval layout vs the reference
+        sampler (sat_rendering.py:56-84): same t_starts / t_ends / midpoints
+        for the same near/far and sample count."""
+        import jax
+
+        from eonerf_code_tpu.ops.sampling import intervals_from_z, stratified_z_vals
+
+        n_rays, k = 6, 128
+        # geometry chosen so every midpoint stays inside the cube: the
+        # reference's out-of-cube filter then keeps all points and the
+        # flattened layout reshapes losslessly to (R, K-1)
+        origins = np.tile(np.array([[0.0, 0.0, 0.95]], np.float64), (n_rays, 1))
+        dirs = np.tile(np.array([[0.0, 0.0, -0.9]], np.float64), (n_rays, 1))
+        near = np.linspace(0.0, 0.05, n_rays)[:, None]
+
+        ray_idx, t_starts, t_ends = ref.sat_rendering.satnerf_sampling(
+            _t(origins), _t(dirs), {"render_step_size": 2.0 / k},
+            near=_t(near), perturb=False,
+        )
+        assert ray_idx.shape[0] == n_rays * (k - 1), "cube filter dropped points"
+        want_starts = t_starts.numpy().reshape(n_rays, k - 1)
+        want_ends = t_ends.numpy().reshape(n_rays, k - 1)
+
+        z = stratified_z_vals(jax.random.PRNGKey(0), np.asarray(near),
+                              np.asarray(near) + 2.0, k, perturb=False)
+        got_starts, got_ends, got_mid, _ = intervals_from_z(z)
+        np.testing.assert_allclose(np.asarray(got_starts), want_starts, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got_ends), want_ends, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(got_mid), (want_starts + want_ends) / 2.0, atol=1e-12
+        )
+
+    def test_cube_mask(self, ref, rng):
+        from eonerf_code_tpu.ops.sampling import cube_mask
+
+        xyz = rng.uniform(-1.3, 1.3, (512, 3))
+        _, want, _ = ref.sat_rendering.filter_pts_outside_cube(_t(xyz))
+        got = np.asarray(cube_mask(xyz, bound=1.0))
+        np.testing.assert_array_equal(got, want.numpy())
+
+    def test_rpc_scaling_params(self, ref, rng):
+        from eonerf_code_tpu.data.satellite import scaling_params
+
+        v = rng.uniform(-500, 900, (7, 13))
+        want = ref.sat_utils.rpc_scaling_params(v)
+        got = scaling_params(v)
+        np.testing.assert_allclose(got, want, rtol=1e-15)
+
+    def test_rescale_rpc(self, ref, rng):
+        from eonerf_code_tpu.geo.rpc import RPCModel
+
+        d = {k: float(v) for k, v in zip(
+            RPCModel._SCALAR_KEYS,
+            [1010.0, 995.0, 38.29, -81.55, 100.0, 1024.0, 1024.0, 0.05, 0.06, 500.0],
+        )}
+        d.update({k: list(rng.standard_normal(20)) for k in RPCModel._POLY_KEYS})
+        ours = RPCModel(d).rescaled(0.5)
+        theirs = ref.sat_utils.rescale_rpc(types.SimpleNamespace(**d), 0.5)
+        for k in ("row_scale", "col_scale", "row_offset", "col_offset",
+                  "lat_scale", "lon_offset", "alt_scale"):
+            assert getattr(ours, k) == getattr(theirs, k)
 
 
 # ---------------------------------------------------------------------------
