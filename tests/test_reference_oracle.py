@@ -50,6 +50,15 @@ def _identity_jit(f=None, **kwargs):
 def ref():
     """Namespace of reference modules, imported with stubbed native deps."""
     stub_names = {}
+    # The reference's top-level packages can collide with installed
+    # site-packages (a third-party `datasets` exists in this image). Stash
+    # any pre-existing module of those names so the reference import
+    # resolves fresh from REF_DIR, and restore them on teardown so module
+    # identity is preserved for later tests.
+    stashed = {}
+    for root in ("datasets", "radiance_fields"):
+        for name in [n for n in sys.modules if n == root or n.startswith(root + ".")]:
+            stashed[name] = sys.modules.pop(name)
 
     def stub(name, **attrs):
         if name in sys.modules:
@@ -61,8 +70,7 @@ def ref():
         stub_names[name] = m
         return m
 
-    numba = stub("numba", jit=_identity_jit)
-    assert numba.jit is _identity_jit or "numba" not in stub_names
+    stub("numba", jit=_identity_jit)
     stub("rasterio", open=None)
     stub("rpcm", RPCModel=None)
     stub("plyflatten", plyflatten=None)
@@ -121,6 +129,7 @@ def ref():
             sys.modules.pop(m, None)
         for m in stub_names:
             sys.modules.pop(m, None)
+        sys.modules.update(stashed)
 
 
 def _t(x):
