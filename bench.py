@@ -18,7 +18,13 @@ Baseline: the reference publishes NO numbers (BASELINE.md). `vs_baseline`
 is computed against an ESTIMATED A100 PyTorch throughput of 10,000 rays/s
 for the same per-step work (derived from SatNeRF-class runtimes: ~300k
 steps x 1024 rays in ~20h on V100 ~ 4.3k rays/s, doubled for A100 and
-rounded up to be conservative toward the baseline).
+rounded up to be conservative toward the baseline). The MEASURED anchor is
+`fused_vs_unfused_same_chip`: the same workload through the per-sample
+(non-Pallas) XLA path on the same chip, benched in the same run.
+
+Each grid point is measured EONERF_BENCH_REPEATS (default 3) times; the
+headline is the median and `spread_frac_by_batch_size` prints the
+(max-min)/median band so round-over-round deltas are interpretable.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -72,7 +78,8 @@ def device_peak_tflops(device_str):
 
 
 def build_step(n_images=10, n_samples=128, compute_dtype="bfloat16", scan_steps=20,
-               trunk_quant=False, save_acts=False, sc_n_samples=0):
+               trunk_quant=False, save_acts=False, sc_n_samples=0,
+               use_pallas=True):
     """Returns (megastep, params, opt_state): `scan_steps` full train steps
     chained by lax.scan inside one jit dispatch — the framework's real
     training operating mode (train/loop.py make_megastep). Uses the trainer's
@@ -92,7 +99,7 @@ def build_step(n_images=10, n_samples=128, compute_dtype="bfloat16", scan_steps=
     params = base_field.init(jax.random.PRNGKey(0), jnp.zeros((2, 3, 3)),
                              jnp.zeros((2, 3)), jnp.zeros((2,), jnp.int32),
                              method="init_all")
-    if compute_dtype == "bfloat16" and jax.default_backend() == "tpu":
+    if use_pallas and compute_dtype == "bfloat16" and jax.default_backend() == "tpu":
         from eonerf_code_tpu.models.fused import PallasField
 
         field = PallasField(base_field, trunk_quant=trunk_quant,
@@ -195,7 +202,7 @@ def main():
         os._exit(2)
 
     signal.signal(signal.SIGALRM, _timeout)
-    signal.alarm(20 * 60)
+    signal.alarm(28 * 60)  # covers the second (unfused-baseline) compile
 
     # A/B hook: EONERF_BENCH_QUANT=int8|int8_full measures the int8-trunk
     # operating points (kernel arithmetic only; workload identical)
@@ -224,12 +231,21 @@ def main():
     train_step, params, opt_state = build_step(trunk_quant=trunk_quant,
                                                save_acts=save_acts,
                                                sc_n_samples=sc_n_samples)
-    # A/B hook: EONERF_BENCH_BS=comma-list overrides the batch grid
+    # A/B hook: EONERF_BENCH_BS=comma-list overrides the batch grid;
+    # EONERF_BENCH_REPEATS=N the per-point repeat count (median reported —
+    # round-4 verdict weak #6: single-shot benches carry an undeclared
+    # +-0.5-1% noise band; 3 repeats make round-over-round deltas
+    # interpretable against a PRINTED spread)
     bs_grid = tuple(int(x) for x in os.environ.get(
         "EONERF_BENCH_BS", "4096,8192,16384").split(","))
+    repeats = int(os.environ.get("EONERF_BENCH_REPEATS", "3"))
+    spreads = {}
     for bs in bs_grid:
         try:
-            results[bs] = time_batch(train_step, params, opt_state, bs)
+            vals = sorted(time_batch(train_step, params, opt_state, bs)
+                          for _ in range(repeats))
+            results[bs] = vals[len(vals) // 2]
+            spreads[bs] = round((vals[-1] - vals[0]) / results[bs], 4)
         except Exception:  # OOM on larger batches is informative, not fatal
             results[bs] = None
     valid = {k: v for k, v in results.items() if v}
@@ -240,6 +256,24 @@ def main():
         return
     best_bs = max(valid, key=valid.get)
     best = valid[best_bs]
+
+    # Measured SAME-CHIP baseline: the per-sample (non-Pallas) XLA path at
+    # its best batch size — a defensible speedup denominator alongside the
+    # A100 estimate (round-4 verdict weak #3). Skippable for fast A/Bs.
+    unfused = None
+    if os.environ.get("EONERF_BENCH_UNFUSED", "1") != "0" and not trunk_quant:
+        try:
+            u_step, u_params, u_opt = build_step(
+                save_acts=False, sc_n_samples=sc_n_samples, use_pallas=False)
+            u_results = {bs: time_batch(u_step, u_params, u_opt, bs)
+                         for bs in (4096, 8192)}
+            u_bs = max(u_results, key=u_results.get)
+            unfused = {"rays_per_sec": round(u_results[u_bs], 1),
+                       "batch_size": u_bs,
+                       "by_batch_size": {str(k): round(v, 1)
+                                         for k, v in u_results.items()}}
+        except Exception as e:  # the baseline arm must never kill the bench
+            unfused = {"error": repr(e)[:200]}
     signal.alarm(0)
     device = str(jax.devices()[0])
     model_fpr, exec_fpr = flops_per_ray(128, sc_n_samples, save_acts)
@@ -254,6 +288,12 @@ def main():
         "baseline_note": "estimated A100 PyTorch EO-NeRF throughput (reference publishes none)",
         "batch_size": best_bs,
         "by_batch_size": {str(k): (round(v, 1) if v else None) for k, v in results.items()},
+        "repeats": repeats,
+        "spread_frac_by_batch_size": {str(k): v for k, v in spreads.items()},
+        "unfused_same_chip": unfused,
+        "fused_vs_unfused_same_chip": (
+            round(best / unfused["rays_per_sec"], 2)
+            if unfused and "rays_per_sec" in unfused else None),
         "device": device,
         "n_samples": 128,
         "sc_n_samples": sc_n_samples or 128,

@@ -13,6 +13,7 @@ are named configs.
 import dataclasses
 import json
 import os
+import warnings
 from typing import Optional
 
 
@@ -236,7 +237,21 @@ class TrainConfig:
         quality floor on the production scene; 1/3-ratio marches degrade),
         never more than n_samples (the reference's own resolution)."""
         if self.sc_n_samples == -1:
-            return min(self.n_samples, max(self.n_samples // 2, 64))
+            resolved = min(self.n_samples, max(self.n_samples // 2, 64))
+            # The auto rule's quality evidence is the on-chip A/B at
+            # n_samples in {96, 128} (both resolve to 64; round-4 STATUS
+            # §1). Outside that neighborhood the half-count prescription is
+            # an EXTRAPOLATION of measured physics resolution — say so
+            # rather than silently generalizing (round-4 verdict weak #5).
+            if not 64 <= self.n_samples <= 160:
+                warnings.warn(
+                    f"sc_n_samples auto rule resolving {self.n_samples} -> "
+                    f"{resolved} shadow samples is outside its validated "
+                    "range (n_samples 96-128, both -> 64). Quality is "
+                    "unverified here: A/B against --sc_n_samples 0 (full "
+                    "count) before trusting converged results.",
+                    stacklevel=2)
+            return resolved
         if self.sc_n_samples == 0:
             return self.n_samples   # reference rule, sat_rendering.py:286-298
         if self.sc_n_samples < 0:

@@ -78,6 +78,16 @@ def run_reference_training(scene_dir, logs_dir, exp_name, *, batch_size=256,
     (train_eonerf.py:182-191; save cadence = every 4 epochs' worth of
     steps). Choose max_steps as a multiple of 4 * (n_rays // batch_size)
     so the final step checkpoints before the hard exit()."""
+    # Ensure scene.loc_utm exists: the reference's init_scaling_params
+    # (datasets/satellite.py:377-404) crashes on this numpy/json combo
+    # (json.dump of np.float32 scalars); it prefers an existing file
+    # (:300), and our SatelliteScene writes the identical 8-corner-ray
+    # normalization (tests/test_head_to_head.py::TestDatasetParity).
+    if not os.path.exists(os.path.join(str(scene_dir), "scene.loc_utm")):
+        from eonerf_code_tpu.data.satellite import SatelliteScene
+
+        SatelliteScene(str(scene_dir))
+
     argv = [
         os.path.join(ref_dir, "train_eonerf.py"),
         "--root_dir", str(scene_dir),

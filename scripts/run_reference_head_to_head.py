@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Converged head-to-head: the reference's own training stack vs ours.
+
+The north star (BASELINE.json) asks for "DSM altitude MAE within 2 cm of
+reference" — this script finally MEASURES it. One synthetic scene (the
+reference's exact on-disk format) is trained twice with a MATCHED budget
+and the reference's own schedule semantics:
+
+  ref:  /root/reference/train_eonerf.py itself, unmodified, on CPU via
+        interop.ref_runner (nerfacc -> pure-torch shims; rasterio/rpcm/
+        pyproj/utm -> this framework's own components)
+  ours: the TPU trainer on the same scene (same batch/samples/steps,
+        lr decay per epoch, shadows+beta from epoch 2, uniform sampling,
+        float32 — mirroring what the reference actually runs)
+
+then BOTH models are evaluated through the IDENTICAL pipeline
+(eval_eonerf: nadir ortho sweep -> DSM -> NCC-registered MAE vs the
+scene's lidar-style GT) — the reference checkpoint enters through
+interop.ref_import's weight transplant, whose forward-parity is pinned
+at 1e-8 by tests/test_head_to_head.py.
+
+Phases (resumable; the ref phase is hours of single-core CPU):
+    python scripts/run_reference_head_to_head.py <workdir> scene
+    python scripts/run_reference_head_to_head.py <workdir> ref
+    python scripts/run_reference_head_to_head.py <workdir> ours
+    python scripts/run_reference_head_to_head.py <workdir> eval
+    python scripts/run_reference_head_to_head.py <workdir> all
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Budget: 5 train views, 64 px, 3.2 m GSD, batch 1024, 64 samples/ray,
+# 2400 steps = 120 epochs over the 20,480-ray pool. The reference's StepLR
+# (x0.9 per epoch, train_eonerf.py:64,304) freezes the run by ~epoch 80,
+# so 120 epochs is converged BY ITS OWN SCHEDULE; ours mirrors that decay.
+BATCH = 1024
+N_SAMPLES = 64
+STEPS = 2400  # multiple of save_freq = 4 * (20480 // 1024) = 80
+STEPS_PER_EPOCH = 20
+
+
+def scene_spec():
+    from eonerf_code_tpu.data.synthetic import SyntheticSceneSpec
+
+    return SyntheticSceneSpec(
+        n_views=5, n_test_views=1, img_size=64, extent=200.0,
+        n_buildings=2, box_size=60.0, box_height=20.0,
+        dsm_resolution=2.0, radiometric_jitter=0.05, seed=11)
+
+
+def phase_scene(workdir):
+    from eonerf_code_tpu.data.synthetic import generate_scene
+
+    scene = generate_scene(os.path.join(workdir, "scene"), scene_spec())
+    with open(os.path.join(workdir, "scene_meta.json"), "w") as f:
+        json.dump({k: v for k, v in scene.items() if isinstance(v, (str, list))}, f)
+    print("scene at", scene["root_dir"], flush=True)
+    return scene
+
+
+def _scene_meta(workdir):
+    with open(os.path.join(workdir, "scene_meta.json")) as f:
+        return json.load(f)
+
+
+def phase_ref(workdir):
+    from eonerf_code_tpu.interop.ref_runner import run_reference_training
+
+    scene = _scene_meta(workdir)
+    t0 = time.time()
+    log_dir = run_reference_training(
+        scene["root_dir"], os.path.join(workdir, "ref_logs"), "ref",
+        batch_size=BATCH, n_samples=N_SAMPLES, max_steps=STEPS, chunk=1024)
+    print(f"reference training done in {time.time()-t0:.0f}s -> {log_dir}",
+          flush=True)
+    return log_dir
+
+
+def phase_ours(workdir):
+    from eonerf_code_tpu.config import TrainConfig
+    from eonerf_code_tpu.train.loop import Trainer
+
+    scene = _scene_meta(workdir)
+    cfg = TrainConfig(
+        root_dir=scene["root_dir"], img_dir=scene["img_dir"],
+        gt_dir=scene["gt_dir"], logs_dir=os.path.join(workdir, "our_logs"),
+        exp_name="ours", aoi_id=scene["aoi_id"],
+        batch_size=BATCH, n_samples=N_SAMPLES, sc_n_samples=0,
+        max_train_steps=STEPS, compute_dtype="float32",
+        # mirror the reference's schedule on this pool: lr x0.9 per epoch,
+        # shadows + beta-loss from epoch 2
+        lr_decay_steps=STEPS_PER_EPOCH,
+        first_shadow_step=2 * STEPS_PER_EPOCH,
+        first_beta_step=2 * STEPS_PER_EPOCH,
+        # the reference samples uniformly (its occ grid is inert) — match it
+        occ_enabled=False, occ_tighten=False,
+        val_freq=10**9, save_freq=STEPS, steps_per_call=STEPS_PER_EPOCH)
+    t0 = time.time()
+    trainer = Trainer(cfg)
+    stats = trainer.run(max_steps=STEPS, log_every=400)
+    print(f"our training done in {time.time()-t0:.0f}s "
+          f"({stats['rays_per_sec']:,.0f} rays/s)", flush=True)
+    return cfg.log_dir
+
+
+def _eval_run(run_id, logs_dir, out_dir, scene):
+    from eonerf_code_tpu.eval.run import eval_eonerf
+
+    return eval_eonerf(run_id, logs_dir, out_dir, root_dir=scene["root_dir"],
+                       img_dir=scene["img_dir"], gt_dir=scene["gt_dir"],
+                       dsm=True, dsm_resolution=2.0)
+
+
+def phase_eval(workdir):
+    from eonerf_code_tpu.interop.ref_import import import_reference_run
+
+    scene = _scene_meta(workdir)
+    imported_dir = os.path.join(workdir, "our_logs", "ref_imported")
+    import_reference_run(os.path.join(workdir, "ref_logs", "ref"), imported_dir,
+                         root_dir=scene["root_dir"], img_dir=scene["img_dir"],
+                         gt_dir=scene["gt_dir"], aoi_id=scene["aoi_id"],
+                         n_samples=N_SAMPLES)
+
+    out_dir = os.path.join(workdir, "eval_out")
+    res_ref = _eval_run("ref_imported", os.path.join(workdir, "our_logs"),
+                        out_dir, scene)
+    res_ours = _eval_run("ours", os.path.join(workdir, "our_logs"),
+                         out_dir, scene)
+    delta_cm = abs(res_ours["mae"] - res_ref["mae"]) * 100.0
+    summary = {
+        "scene": scene["root_dir"],
+        "budget": {"batch": BATCH, "n_samples": N_SAMPLES, "steps": STEPS},
+        "mae_reference_torch_m": round(res_ref["mae"], 4),
+        "mae_ours_m": round(res_ours["mae"], 4),
+        "delta_cm": round(delta_cm, 2),
+    }
+    with open(os.path.join(workdir, "head_to_head.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2), flush=True)
+    return summary
+
+
+def main():
+    workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/eonerf_h2h"
+    phase = sys.argv[2] if len(sys.argv) > 2 else "all"
+    os.makedirs(workdir, exist_ok=True)
+    if phase in ("scene", "all"):
+        phase_scene(workdir)
+    if phase in ("ref", "all"):
+        phase_ref(workdir)
+    if phase in ("ours", "all"):
+        phase_ours(workdir)
+    if phase in ("eval", "all"):
+        phase_eval(workdir)
+
+
+if __name__ == "__main__":
+    main()
