@@ -136,3 +136,41 @@ def rasterize_local(easts_l, norths_l, alts, xoff_l, yoff_l, resolution,
     """Device rasterization in the local frame (thin jit wrapper)."""
     return rasterize_pointcloud_jax(easts_l, norths_l, alts, xoff_l, yoff_l,
                                     resolution, xsize, ysize, radius=radius)
+
+
+def ecef_to_utm_frame(center_ecef, zone, south):
+    """Local linear frame for ECEF-cube device eval.
+
+    Returns (J, (E0, N0, alt0)): J is the 3x3 Jacobian of the exact
+    ecef -> (UTM easting, northing, altitude) chain at the scene center,
+    computed by central differences through the host geodesy (f64), so it
+    carries the true UTM point scale factor and grid convergence — an
+    ENU-basis approximation alone would rotate the scene by the
+    convergence angle (meters of corner error at zone edges).
+
+    The device path then maps normalized-cube deltas linearly:
+    (E, N, alt) ~ (E0, N0, alt0) + J @ d_ecef. The residual is the
+    projection's curvature over the scene: ~extent^2 / (2 R_earth), i.e.
+    <2 mm at 200 m extent, ~8 cm at 1 km — in-training validation
+    accuracy; the host path (eval/dsm.py) remains the exact reference.
+    """
+    import numpy as np
+
+    from eonerf_code_tpu.geo.ellipsoid import ecef_to_latlon
+    from eonerf_code_tpu.geo.utm import utm_from_latlon
+
+    center = np.asarray(center_ecef, np.float64)
+
+    def f(p):
+        lat, lon, alt = ecef_to_latlon(p[0:1], p[1:2], p[2:3])
+        e, n = utm_from_latlon(lat, lon, zone=zone, south=south)
+        return np.array([float(e[0]), float(n[0]), float(alt[0])])
+
+    origin = f(center)
+    J = np.zeros((3, 3))
+    h = 1.0
+    for i in range(3):
+        dp = np.zeros(3)
+        dp[i] = h
+        J[:, i] = (f(center + dp) - f(center - dp)) / (2.0 * h)
+    return J, (origin[0], origin[1], origin[2])

@@ -780,10 +780,25 @@ class Trainer:
             h_ = min(water.shape[0], gt.shape[0])
             w_ = min(water.shape[1], gt.shape[1])
             gt[:h_, :w_] = np.where(water[:h_, :w_], np.nan, gt[:h_, :w_])
-        off = self.train_ds.scene.scene_offset
+        if self.cfg.ecef:
+            # ECEF cube: the local frame origin is the scene center's UTM
+            # coordinates, and cube deltas map through the exact-Jacobian
+            # linear frame (eval/device.py ecef_to_utm_frame)
+            from eonerf_code_tpu.eval.device import ecef_to_utm_frame
+
+            zs = self.train_ds.scene.utm_zonestring
+            zone = int("".join(c for c in zs if c.isdigit()))
+            south = "".join(c for c in zs if c.isalpha()).upper() < "N"
+            J, (e0, n0, alt0) = ecef_to_utm_frame(
+                self.train_ds.scene.scene_offset, zone, south)
+            self._ecef_frame = (jnp.asarray(J, jnp.float32), float(alt0))
+            off_e, off_n = e0, n0
+        else:
+            off = self.train_ds.scene.scene_offset
+            off_e, off_n = off[0], off[1]
         self._gt_grid = (jnp.asarray(gt),
-                         float(f.bounds.left - off[0]),
-                         float(f.bounds.top - off[1]),
+                         float(f.bounds.left - off_e),
+                         float(f.bounds.top - off_n),
                          float(f.res[0]))
         return self._gt_grid
 
@@ -797,10 +812,18 @@ class Trainer:
         rays = jnp.asarray(sample["rays"], jnp.float32)
         depth = jnp.asarray(out["depth"], jnp.float32).reshape(-1, 1)
         scale = jnp.asarray(self.train_ds.scene.scene_scale, jnp.float32)
-        off_z = float(self.train_ds.scene.scene_offset[2])
         xyz_l = (rays[:, 0:3] + rays[:, 3:6] * depth) * scale  # local meters
-        alts = xyz_l[:, 2] + off_z
-        pred = rasterize_local(xyz_l[:, 0], xyz_l[:, 1], alts,
+        if self.cfg.ecef:
+            # cube deltas are local ECEF meters (offset == scene center);
+            # map to (easting, northing, altitude) through the exact
+            # Jacobian frame (curvature bound: see ecef_to_utm_frame)
+            J, alt0 = self._ecef_frame
+            enu = xyz_l @ J.T
+            easts_l, norths_l, alts = enu[:, 0], enu[:, 1], alt0 + enu[:, 2]
+        else:
+            easts_l, norths_l = xyz_l[:, 0], xyz_l[:, 1]
+            alts = xyz_l[:, 2] + float(self.train_ds.scene.scene_offset[2])
+        pred = rasterize_local(easts_l, norths_l, alts,
                                xoff_l, ytop_l, res, gt.shape[1], gt.shape[0])
         mae, _ = device_dsm_mae(pred, gt)
         return float(mae)
@@ -814,19 +837,10 @@ class Trainer:
         forces device and surfaces failures; False forces host."""
         if self.cfg.device_eval is False:
             return self._val_mae_host(sample, out)
-        if self.cfg.ecef:
-            # the device path's local-frame algebra (UTM-minus-offset) is
-            # WRONG in an ECEF cube without an ENU rotation — it would
-            # return a silently wrong number, not raise. Auto mode takes
-            # the host path (which denormalizes through ecef_to_latlon);
-            # forcing --device_eval must not buy a wrong answer either.
-            if self.cfg.device_eval:
-                raise ValueError(
-                    "device_eval=True is unsupported for ECEF runs: the "
-                    "device MAE path assumes a UTM local frame and would "
-                    "silently return wrong altitudes; drop --device_eval "
-                    "(auto mode uses the host path for ECEF)")
-            return self._val_mae_host(sample, out)
+        # ECEF cubes ride the same device path through the exact-Jacobian
+        # local frame (val_mae_device); the curvature residual is mm-to-cm
+        # at real scene extents and the host fallback stays the exact
+        # reference (cross-checked in tests/test_real_metadata.py).
         try:
             return self.val_mae_device(sample, out)
         except Exception:
