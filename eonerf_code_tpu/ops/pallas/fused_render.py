@@ -289,7 +289,7 @@ def _camera_fwd_kernel(dtype, quant, rt, kpad, save, rayin_ref, zcol_ref,
     nt = rt * kpad
     sel = _sel(nt, rt, kpad)
     rayin = rayin_ref[:].astype(jnp.float32)
-    zcol = zcol_ref[:, 0:1].astype(jnp.float32)
+    zcol = _rk_to_col(sel, zcol_ref[:].astype(jnp.float32))
     xb = _expand(sel, _ray_basis(rayin, 0)) + \
         _expand(sel, _ray_basis(rayin, 3)) * zcol
     pe = _pe_from_xb(xb, dtype).astype(dtype)
@@ -323,7 +323,7 @@ def _camera_bwd_kernel(dtype, quant, rt, kpad, saved, rayin_ref, zcol_ref,
     nt = rt * kpad
     sel = _sel(nt, rt, kpad)
     rayin = rayin_ref[:].astype(jnp.float32)
-    zcol = zcol_ref[:, 0:1].astype(jnp.float32)
+    zcol = _rk_to_col(sel, zcol_ref[:].astype(jnp.float32))
     deltam = deltam_ref[:]
 
     # ---- recompute forward with residuals ----
@@ -478,7 +478,7 @@ def _shadow_fwd_kernel(dtype, quant, rt, kpad, save, rayin_ref, zcol_ref,
     nt = rt * kpad
     sel = _sel(nt, rt, kpad)
     rayin = rayin_ref[:].astype(jnp.float32)
-    zcol = zcol_ref[:, 0:1].astype(jnp.float32)
+    zcol = _rk_to_col(sel, zcol_ref[:].astype(jnp.float32))
     xb = _expand(sel, _ray_basis(rayin, 0)) + \
         _expand(sel, _ray_basis(rayin, 3)) * zcol
     pe = _pe_from_xb(xb, dtype).astype(dtype)
@@ -521,7 +521,7 @@ def _shadow_bwd_kernel(dtype, quant, rt, kpad, saved, rayin_ref, zcol_ref,
     nt = rt * kpad
     sel = _sel(nt, rt, kpad)
     rayin = rayin_ref[:].astype(jnp.float32)
-    zcol = zcol_ref[:, 0:1].astype(jnp.float32)
+    zcol = _rk_to_col(sel, zcol_ref[:].astype(jnp.float32))
     deltam = deltam_ref[:]
 
     xb = _expand(sel, _ray_basis(rayin, 0)) + \
@@ -596,7 +596,7 @@ def _coarse_fwd_kernel(dtype, quant, rt, kpad, rayin_ref, zcol_ref,
     nt = rt * kpad
     sel = _sel(nt, rt, kpad)
     rayin = rayin_ref[:].astype(jnp.float32)
-    zcol = zcol_ref[:, 0:1].astype(jnp.float32)
+    zcol = _rk_to_col(sel, zcol_ref[:].astype(jnp.float32))
     xb = _expand(sel, _ray_basis(rayin, 0)) + \
         _expand(sel, _ray_basis(rayin, 3)) * zcol
     pe = _pe_from_xb(xb, dtype).astype(dtype)
@@ -652,14 +652,16 @@ def _pad_rows_to(x, rows, value=0.0):
 
 
 def _prep(z, deltam, mask=None):
-    """(R, K) glue arrays -> (R, KPAD) padded + z as a (R*KPAD, 8) column
-    block (col 0). Padding samples carry zero extinction."""
+    """(R, K) glue arrays -> (R, KPAD) padded. z stays in dense per-ray
+    form; the kernels build the per-point column in VMEM via _rk_to_col —
+    staging a (R*KPAD, 8) column operand through XLA cost ~5 ms/step of
+    pad+layout-copy traffic at bs 8192 (round-5 trace). Padding samples
+    carry zero extinction."""
     r, k = z.shape
     kpad = _kpad_of(k)
     zp = jnp.pad(z, ((0, 0), (0, kpad - k)))
     dp = jnp.pad(deltam, ((0, 0), (0, kpad - k)))
-    zcol = jnp.pad(zp.reshape(r * kpad, 1), ((0, 0), (0, 7)))
-    out = [zcol, dp]
+    out = [zp, dp]
     if mask is not None:
         out.append(jnp.pad(mask.astype(jnp.float32), ((0, 0), (0, kpad - k))))
     return kpad, out
@@ -716,7 +718,7 @@ def make_fused_camera(compute_dtype=jnp.bfloat16, tile_target=2048,
         rt = _rt_of(kpad, tile_target, r)
         rp = _round_up(r, rt)
         rayin_p = _pad_rows_to(rayin.astype(jnp.float32), rp)
-        zcol = _pad_rows_to(zcol, rp * kpad)
+        zcol = _pad_rows_to(zcol, rp)
         dp = _pad_rows_to(dp, rp)
         flat_f32 = _pad_pe_rows(flatten_weights(weights), with_transient=True)
         flat = cast_matrices(flat_f32, compute_dtype)
@@ -732,7 +734,7 @@ def make_fused_camera(compute_dtype=jnp.bfloat16, tile_target=2048,
                               rt, kpad, save),
             out_shape=tuple(out_shape) if save else out_shape[0],
             grid=(rp // rt,),
-            in_specs=[_ray_spec(rt, RAYIN_COLS), _pt_spec(rt * kpad, 8),
+            in_specs=[_ray_spec(rt, RAYIN_COLS), _ray_spec(rt, kpad),
                       _ray_spec(rt, kpad)]
                      + [_const_spec(wt.shape) for wt in flat]
                      + [_const_spec(q.shape) for q in qargs],
@@ -756,7 +758,7 @@ def make_fused_camera(compute_dtype=jnp.bfloat16, tile_target=2048,
         rt = _rt_of(kpad, bwd_tile_target, r)
         rp = _round_up(r, rt)
         rayin_p = _pad_rows_to(rayin.astype(jnp.float32), rp)
-        zcol = _pad_rows_to(zcol, rp * kpad)
+        zcol = _pad_rows_to(zcol, rp)
         dp = _pad_rows_to(dp, rp)
         gacc_p = _pad_rows_to(gacc.astype(jnp.float32), rp)
         extra = [_pad_rows_to(acts, rp * kpad)] if saved else []
@@ -775,7 +777,7 @@ def make_fused_camera(compute_dtype=jnp.bfloat16, tile_target=2048,
                               rt, kpad, saved),
             out_shape=tuple(out_shapes),
             grid=(rp // rt,),
-            in_specs=[_ray_spec(rt, RAYIN_COLS), _pt_spec(rt * kpad, 8),
+            in_specs=[_ray_spec(rt, RAYIN_COLS), _ray_spec(rt, kpad),
                       _ray_spec(rt, kpad), _ray_spec(rt, ACC_COLS)]
                      + extra_specs
                      + [_const_spec(wt.shape) for wt in flat]
@@ -885,7 +887,7 @@ def make_fused_shadow(compute_dtype=jnp.bfloat16, tile_target=2048,
         rt = _rt_of(kpad, tile_target, r)
         rp = _round_up(r, rt)
         rayin_p = _pad_rows_to(rayin.astype(jnp.float32), rp)
-        zcol = _pad_rows_to(zcol, rp * kpad)
+        zcol = _pad_rows_to(zcol, rp)
         dp = _pad_rows_to(dp, rp)
         mp = _pad_rows_to(mp, rp)
         flat_f32p = _pad_pe_rows(density_subset(weights))
@@ -902,7 +904,7 @@ def make_fused_shadow(compute_dtype=jnp.bfloat16, tile_target=2048,
                               rt, kpad, save),
             out_shape=tuple(out_shape) if save else out_shape[0],
             grid=(rp // rt,),
-            in_specs=[_ray_spec(rt, RAYIN_COLS), _pt_spec(rt * kpad, 8),
+            in_specs=[_ray_spec(rt, RAYIN_COLS), _ray_spec(rt, kpad),
                       _ray_spec(rt, kpad), _ray_spec(rt, kpad)]
                      + [_const_spec(wt.shape) for wt in flat]
                      + [_const_spec(q.shape) for q in qargs],
@@ -926,7 +928,7 @@ def make_fused_shadow(compute_dtype=jnp.bfloat16, tile_target=2048,
         rt = _rt_of(kpad, bwd_tile_target, r)
         rp = _round_up(r, rt)
         rayin_p = _pad_rows_to(rayin.astype(jnp.float32), rp)
-        zcol = _pad_rows_to(zcol, rp * kpad)
+        zcol = _pad_rows_to(zcol, rp)
         dp = _pad_rows_to(dp, rp)
         mp = _pad_rows_to(mp, rp)
         ggeo_p = _pad_rows_to(
@@ -948,7 +950,7 @@ def make_fused_shadow(compute_dtype=jnp.bfloat16, tile_target=2048,
                               rt, kpad, saved),
             out_shape=tuple(out_shapes),
             grid=(rp // rt,),
-            in_specs=[_ray_spec(rt, RAYIN_COLS), _pt_spec(rt * kpad, 8),
+            in_specs=[_ray_spec(rt, RAYIN_COLS), _ray_spec(rt, kpad),
                       _ray_spec(rt, kpad), _ray_spec(rt, kpad),
                       _ray_spec(rt, ACC_COLS)]
                      + extra_specs
@@ -1063,7 +1065,7 @@ def make_fused_coarse(compute_dtype=jnp.bfloat16, tile_target=2048,
         rt = _rt_of(kpad, tile_target, r)
         rp = _round_up(r, rt)
         rayin_p = _pad_rows_to(rayin.astype(jnp.float32), rp)
-        zcol = _pad_rows_to(zcol, rp * kpad)
+        zcol = _pad_rows_to(zcol, rp)
         dp = _pad_rows_to(dp, rp)
         flat_f32p = _pad_pe_rows(density_subset(weights))
         flat = cast_matrices(flat_f32p, compute_dtype)
@@ -1073,7 +1075,7 @@ def make_fused_coarse(compute_dtype=jnp.bfloat16, tile_target=2048,
                               rt, kpad),
             out_shape=jax.ShapeDtypeStruct((rp, kpad), jnp.float32),
             grid=(rp // rt,),
-            in_specs=[_ray_spec(rt, RAYIN_COLS), _pt_spec(rt * kpad, 8),
+            in_specs=[_ray_spec(rt, RAYIN_COLS), _ray_spec(rt, kpad),
                       _ray_spec(rt, kpad)]
                      + [_const_spec(wt.shape) for wt in flat]
                      + [_const_spec(q.shape) for q in qargs],
