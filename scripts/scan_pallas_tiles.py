@@ -14,7 +14,8 @@ sys.path.insert(0, "/root/repo")
 from scripts.profile_step import make_batch  # noqa: E402
 
 
-def build(tile, bwd_tile, vmem=None, n_images=10, n_samples=128, scan_steps=20):
+def build(tile, bwd_tile, vmem=None, n_images=10, n_samples=128, scan_steps=20,
+          save_acts=False, sc_n_samples=0):
     import jax
     import jax.numpy as jnp
     import optax
@@ -30,10 +31,11 @@ def build(tile, bwd_tile, vmem=None, n_images=10, n_samples=128, scan_steps=20):
                        jnp.zeros((2, 3)), jnp.zeros((2,), jnp.int32),
                        method="init_all")
     field = (PallasField(base, tile=tile, bwd_tile=bwd_tile,
-                        vmem_limit_mb=vmem) if tile else base)
+                        vmem_limit_mb=vmem, save_acts=save_acts) if tile else base)
     optimizer = optax.adam(5e-4)
     opt_state = optimizer.init(params)
-    rcfg = RenderConfig(n_samples=n_samples, sc_n_samples=n_samples)
+    rcfg = RenderConfig(n_samples=n_samples,
+                        sc_n_samples=sc_n_samples or n_samples)
 
     def loss_fn(p, batch, key):
         rays = satrays_from_tensor(batch["rays"], batch["ts"])
@@ -58,9 +60,11 @@ def build(tile, bwd_tile, vmem=None, n_images=10, n_samples=128, scan_steps=20):
     return run, params, opt_state, scan_steps
 
 
-def time_cfg(tile, bwd_tile, vmem, bs, iters=4):
+def time_cfg(tile, bwd_tile, vmem, bs, iters=4, save_acts=False, sc_n_samples=0):
     import jax
-    run, params, opt_state, scan_steps = build(tile, bwd_tile, vmem)
+    run, params, opt_state, scan_steps = build(tile, bwd_tile, vmem,
+                                               save_acts=save_acts,
+                                               sc_n_samples=sc_n_samples)
     batch = make_batch(bs)
     key = jax.random.PRNGKey(0)
     p, o = params, opt_state
@@ -77,16 +81,29 @@ def time_cfg(tile, bwd_tile, vmem, bs, iters=4):
 
 
 def main():
+    import os
+
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
-    configs = [(None, None, None),
-               (1024, 512, None), (2048, 512, None), (4096, 512, None),
-               (2048, 1024, 32), (4096, 1024, 32), (4096, 2048, 64),
-               (8192, 2048, 96)]
+    # EONERF_SCAN_SAVED=1 + EONERF_SCAN_SC=64 scan at the production
+    # operating point (saved activations, auto shadow count) — the saved
+    # backward has no recompute workspace, so larger bwd tiles may fit
+    save_acts = os.environ.get("EONERF_SCAN_SAVED", "0") == "1"
+    sc = int(os.environ.get("EONERF_SCAN_SC", "0"))
+    if os.environ.get("EONERF_SCAN_CONFIGS"):
+        configs = [tuple(int(v) if v != "None" else None for v in c.split(":"))
+                   for c in os.environ["EONERF_SCAN_CONFIGS"].split(",")]
+    else:
+        configs = [(None, None, None),
+                   (1024, 512, None), (2048, 512, None), (4096, 512, None),
+                   (2048, 1024, 32), (4096, 1024, 32), (4096, 2048, 64),
+                   (8192, 2048, 96)]
     for tile, bwd, vmem in configs:
         label = "xla" if tile is None else f"tile={tile} bwd={bwd} vmem={vmem}"
         try:
-            r = time_cfg(tile, bwd, vmem, bs)
-            print(f"{label:22s} bs={bs}  {r:,.0f} rays/s", flush=True)
+            r = time_cfg(tile, bwd, vmem, bs, save_acts=save_acts,
+                         sc_n_samples=sc)
+            print(f"{label:22s} bs={bs} saved={save_acts} sc={sc}  "
+                  f"{r:,.0f} rays/s", flush=True)
         except Exception as e:
             print(f"{label:22s} bs={bs}  FAILED: {type(e).__name__}: {str(e)[:200]}",
                   flush=True)

@@ -298,3 +298,44 @@ class TestDatasetParity:
         np.testing.assert_array_equal(
             np.asarray(ours.all_ids_img).ravel(),
             theirs.all_ids_img.numpy().ravel().astype(np.int64))
+
+
+class TestReferenceTrainingRuns:
+    """The reference's own train_eonerf.py executes end-to-end on CPU
+    through the stub kit (VERDICT r4 item 1b's harness), its checkpoint
+    reverse-transplants into EONerfField, and the imported run evaluates
+    through our standard eval stack."""
+
+    def test_reference_trains_and_imports(self, tmp_path):
+        from eonerf_code_tpu.data.synthetic import SyntheticSceneSpec, generate_scene
+        from eonerf_code_tpu.eval.run import eval_eonerf
+        from eonerf_code_tpu.interop.ref_import import import_reference_run
+        from eonerf_code_tpu.interop.ref_runner import (
+            latest_reference_checkpoint,
+            run_reference_training,
+        )
+
+        scene = generate_scene(str(tmp_path / "scene"),
+                               SyntheticSceneSpec(n_views=3, n_test_views=1,
+                                                  img_size=16,
+                                                  dsm_resolution=4.0))
+        # 3 views x 256 rays / batch 128 -> val_freq 6, save_freq 24: one
+        # checkpoint lands exactly at max_steps
+        log_dir = run_reference_training(
+            scene["root_dir"], str(tmp_path / "logs"), "smoke",
+            batch_size=128, n_samples=16, max_steps=24, chunk=1024)
+        ckpt = latest_reference_checkpoint(log_dir)
+        assert ckpt.endswith("epoch=4.ckpt")
+
+        imported = str(tmp_path / "our_logs" / "ref_imported")
+        cfg, params = import_reference_run(
+            log_dir, imported, root_dir=scene["root_dir"],
+            img_dir=scene["img_dir"], gt_dir=scene["gt_dir"],
+            aoi_id=scene["aoi_id"], n_samples=16, chunk=768)
+        assert params["params"]["trunk"]["hidden_0"]["kernel"].shape == (63, 256)
+        assert cfg.radiometric_normalization
+
+        out = eval_eonerf("ref_imported", str(tmp_path / "our_logs"),
+                          str(tmp_path / "eval"), gt_dir=scene["gt_dir"],
+                          dsm=True, dsm_resolution=4.0, chunk=768)
+        assert np.isfinite(out["mae"])  # untrained-ish model, just finite
