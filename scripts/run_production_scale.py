@@ -23,7 +23,11 @@ from eonerf_code_tpu.train.loop import Trainer  # noqa: E402
 
 
 def main(workdir="/tmp/eonerf_prod", steps=20000, compute_dtype="bfloat16",
-         trunk_quant="none", bwd_acts="recompute", sc_n_samples=0):
+         trunk_quant="none", bwd_acts="recompute", sc_n_samples=0, seed=7):
+    # seed=13 reproduces the multi-AOI pod run's scene B (SYN_811,
+    # scripts/run_multi_aoi_scale.py) as a SINGLE-AOI control — the paired
+    # run that attributes the pod's per-scene MAE to scene difficulty vs
+    # pod-trainer cost (round-4 verdict weak #4).
     # bfloat16 is the validated production default: MAE 0.352 m @ 20k steps,
     # held-out PSNR 24.47 dB vs float32's 0.361 m / 24.2 dB on this scene
     # (round-2 A/B, identical schedule) — bf16 converges at parity and is
@@ -31,7 +35,7 @@ def main(workdir="/tmp/eonerf_prod", steps=20000, compute_dtype="bfloat16",
     spec = SyntheticSceneSpec(
         n_views=10, n_test_views=2, img_size=320, extent=400.0,
         n_buildings=9, box_size=60.0, box_height=24.0,
-        dsm_resolution=1.0, radiometric_jitter=0.08, seed=7)
+        dsm_resolution=1.0, radiometric_jitter=0.08, seed=int(seed))
     t0 = time.time()
     scene = generate_scene(os.path.join(workdir, "scene"), spec)
     print(f"scene generated in {time.time()-t0:.0f}s", flush=True)
@@ -95,4 +99,4 @@ def main(workdir="/tmp/eonerf_prod", steps=20000, compute_dtype="bfloat16",
 
 
 if __name__ == "__main__":
-    main(*(sys.argv[1:7] or []))
+    main(*(sys.argv[1:8] or []))

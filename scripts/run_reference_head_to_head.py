@@ -35,12 +35,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Budget: 5 train views, 64 px, 3.2 m GSD, batch 1024, 64 samples/ray,
-# 2400 steps = 120 epochs over the 20,480-ray pool. The reference's StepLR
-# (x0.9 per epoch, train_eonerf.py:64,304) freezes the run by ~epoch 80,
-# so 120 epochs is converged BY ITS OWN SCHEDULE; ours mirrors that decay.
+# 1600 steps = 80 epochs over the 20,480-ray pool. The reference's StepLR
+# (x0.9 per epoch, train_eonerf.py:64,304) has the lr at 0.9^78 ~ 0.03%
+# of initial by epoch 80 — the run is frozen BY ITS OWN SCHEDULE well
+# before the end; ours mirrors that decay at the same step budget.
 BATCH = 1024
 N_SAMPLES = 64
-STEPS = 2400  # multiple of save_freq = 4 * (20480 // 1024) = 80
+STEPS = 1600  # multiple of save_freq = 4 * (20480 // 1024) = 80
 STEPS_PER_EPOCH = 20
 
 
