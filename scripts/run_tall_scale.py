@@ -8,8 +8,9 @@ buildings, [-2, 220] m altitude range — the IARPA-style shape where
 tightening reproducibly diverges and auto resolves to HIERARCHICAL
 sampling, scripts/ab_occ_tighten.py --tall) for a reference-scale step
 count (run_IARPA.sh:14 budgets 500k steps for the IARPA AOIs; pass the
-step count to taste). Validated arm at 10k steps: auto64 (n_samples=64 ->
-48 coarse + 24 fine per the 3/4-coarse + half-of-coarse rule). Auto-resumes from the newest
+step count to taste). Runs the config-default sample budget (n=128 ->
+hierarchical 96+48), the winning arm of the round-5 quality A/B
+(docs/ab/round5_tall_quality.json). Auto-resumes from the newest
 checkpoint so it can run under scripts/supervise.py.
 
     python scripts/run_tall_scale.py [workdir] [steps]
@@ -42,7 +43,13 @@ def main(workdir="/tmp/eonerf_tall", steps=100000):
         gt_dir=scene["gt_dir"],
         logs_dir=os.path.join(workdir, "logs"), exp_name="tall",
         aoi_id=scene["aoi_id"], cache_dir=os.path.join(workdir, "cache"),
-        batch_size=4096, max_train_steps=int(steps), n_samples=64,
+        # n_samples left at the config default (128 -> hierarchical 96+48):
+        # the round-5 3-arm 50k-step A/B (scripts/ab_tall_quality.py,
+        # docs/ab/round5_tall_quality.json) measured the n=64 budget this
+        # script previously hardcoded at 0.3 m WORSE nadir MAE at every
+        # milestone (2.05 vs 1.73 m @ 50k) — the round-4 "2.3 m tall-scene
+        # floor" was that budget limit, not the sampler.
+        batch_size=4096, max_train_steps=int(steps),
         net_depth=8, net_width=256,
         # sampler left at the default "auto" — the point of this run is to
         # validate what a user gets on a wide envelope with no flags
