@@ -23,7 +23,8 @@ from eonerf_code_tpu.train.loop import Trainer  # noqa: E402
 
 
 def main(workdir="/tmp/eonerf_prod", steps=20000, compute_dtype="bfloat16",
-         trunk_quant="none", bwd_acts="recompute", sc_n_samples=0, seed=7):
+         trunk_quant="none", bwd_acts="recompute", sc_n_samples=0, seed=7,
+         n_samples=96):
     # seed=13 reproduces the multi-AOI pod run's scene B (SYN_811,
     # scripts/run_multi_aoi_scale.py) as a SINGLE-AOI control — the paired
     # run that attributes the pod's per-scene MAE to scene difficulty vs
@@ -44,7 +45,7 @@ def main(workdir="/tmp/eonerf_prod", steps=20000, compute_dtype="bfloat16",
         root_dir=scene["root_dir"], img_dir=scene["img_dir"], gt_dir=scene["gt_dir"],
         logs_dir=os.path.join(workdir, "logs"), exp_name="prod",
         aoi_id=scene["aoi_id"], cache_dir=os.path.join(workdir, "cache"),
-        batch_size=4096, max_train_steps=int(steps), n_samples=96,
+        batch_size=4096, max_train_steps=int(steps), n_samples=int(n_samples),
         net_depth=8, net_width=256,
         # occupancy-tightened sampling, camera AND shadow rays (round-2 A/B,
         # 20k steps): MAE 0.338 m at ~100k rays/s vs 0.352 m at ~70k for
@@ -99,4 +100,4 @@ def main(workdir="/tmp/eonerf_prod", steps=20000, compute_dtype="bfloat16",
 
 
 if __name__ == "__main__":
-    main(*(sys.argv[1:8] or []))
+    main(*(sys.argv[1:9] or []))
