@@ -240,14 +240,16 @@ class TrainConfig:
             resolved = min(self.n_samples, max(self.n_samples // 2, 64))
             # The auto rule's quality evidence is the on-chip A/B at
             # n_samples in {96, 128} (both resolve to 64; round-4 STATUS
-            # §1). Outside that neighborhood the half-count prescription is
+            # §1) and at 192 (-> 96: MAE 0.340 vs full-count's 0.355 m,
+            # PSNR 24.05 vs 24.09, 20k-step production scene — round 5).
+            # Outside that neighborhood the half-count prescription is
             # an EXTRAPOLATION of measured physics resolution — say so
             # rather than silently generalizing (round-4 verdict weak #5).
-            if not 64 <= self.n_samples <= 160:
+            if not 64 <= self.n_samples <= 192:
                 warnings.warn(
                     f"sc_n_samples auto rule resolving {self.n_samples} -> "
                     f"{resolved} shadow samples is outside its validated "
-                    "range (n_samples 96-128, both -> 64). Quality is "
+                    "range (n_samples 96-192). Quality is "
                     "unverified here: A/B against --sc_n_samples 0 (full "
                     "count) before trusting converged results.",
                     stacklevel=2)

@@ -137,7 +137,8 @@ class TestValMetricsWithoutGT:
 
 class TestScAutoRuleBounds:
     """Round-4 verdict weak #5: the sc auto rule must not silently
-    extrapolate past its validated range (n_samples 96-128)."""
+    extrapolate past its validated range (n_samples 96-192 as of the
+    round-5 n=192 production A/B)."""
 
     def test_auto_warns_outside_validated_range(self):
         import warnings as W
@@ -148,7 +149,8 @@ class TestScAutoRuleBounds:
             W.simplefilter("error")  # validated points stay silent
             assert TrainConfig(n_samples=96).resolve_sc_n_samples() == 64
             assert TrainConfig(n_samples=128).resolve_sc_n_samples() == 64
-        for n, expect in [(256, 128), (48, 48), (192, 96)]:
+            assert TrainConfig(n_samples=192).resolve_sc_n_samples() == 96
+        for n, expect in [(256, 128), (48, 48)]:
             with pytest.warns(UserWarning, match="outside its validated"):
                 assert TrainConfig(n_samples=n).resolve_sc_n_samples() == expect
 
