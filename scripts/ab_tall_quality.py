@@ -38,6 +38,12 @@ ARMS = {
     "hier48+24": dict(n_samples=64, sampler="auto"),
     "hier96+48": dict(n_samples=128, sampler="auto"),
     "uniform128": dict(n_samples=128, sampler="uniform"),
+    # diagnostic arm for the late-horizon nadir creep (round-5 §2 finding
+    # 2): identical to hier96+48 but the shadow phase never starts — if
+    # the creep vanishes here, it is shadow-phase geometry tension, not
+    # the lr tail / beta loss
+    "hier96+48_noshadow": dict(n_samples=128, sampler="auto",
+                               first_shadow_step=10**9),
 }
 
 
@@ -68,7 +74,9 @@ def eval_milestone(trainer, cfg, workdir, arm, step):
 
 
 def run_arm(workdir, scene, arm, steps):
-    params = ARMS[arm]
+    params = {**dict(lr_decay_steps=3000, first_shadow_step=6000,
+                     first_beta_step=12000),
+              **ARMS[arm]}  # an arm may override any schedule default
     cfg = TrainConfig(
         root_dir=scene["root_dir"], img_dir=scene["img_dir"],
         gt_dir=scene["gt_dir"],
@@ -76,7 +84,6 @@ def run_arm(workdir, scene, arm, steps):
         aoi_id=scene["aoi_id"], cache_dir=os.path.join(workdir, "cache"),
         batch_size=4096, max_train_steps=int(steps),
         net_depth=8, net_width=256,
-        lr_decay_steps=3000, first_shadow_step=6000, first_beta_step=12000,
         val_freq=10**9, chunk=8192, steps_per_call=50, save_freq=10**9,
         compute_dtype="bfloat16", **params)
     from eonerf_code_tpu.train.checkpoints import latest_checkpoint
